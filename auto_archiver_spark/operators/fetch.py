@@ -1,0 +1,164 @@
+"""Fetch + enrich — the expensive Arrow-batched UDF stage (SURVEY.md §2.3).
+
+``fetch_archive`` is the Spark twin of the reference's
+extract -> enrich -> store chain (orchestrator.py:632-650), as a single
+``mapInPandas`` pass so per-partition state (HTTP session / token buckets in a
+live deployment) initializes once per partition, and image bytes stream
+through bounded Arrow batches (like the reference's 16 MB-chunk hashing,
+utils/misc.py:53-61).
+
+The sandbox has no network, so the transport is a deterministic *fixture
+server* (sources/fixture.py): a URL's payload is a pure function of the id
+embedded in its path — semantics preserved from the reference chain:
+
+  * X1 download (extractor.py:74-122)  -> fixture bytes per URL
+  * F1 SHA-256 "SHA-256:<hex>" (hash_enricher.py:24-42) -> native sha2 AFTER
+    the UDF (JVM-side, vectorized)
+  * F3 perceptual hash (pdq_hash_enricher.py:48-62) -> dHash-64 in-UDF
+  * F4 thumbnail (thumbnail_enricher.py:53-73) -> area-mean resize in-UDF
+  * meta enricher byte totals (meta_enricher.py:24-37) -> native length()
+
+Politeness: admission (operators/frontier.py) already capped per-host rows
+per wave; inside a partition the UDF *accounts* crawl-delay cost per
+(host, salt) shard into ``politeness_ms`` instead of sleeping — the bench
+measures engine throughput, the budget math is asserted by tests.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codec import decode_image, dhash64, png_encode, thumbnail
+from ..sources.fixture import image_record
+
+_ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
+
+FETCH_RESULT_SCHEMA = (
+    "sheet string, row_idx long, url string, url_norm string, url_hash long, host string, "
+    "folder string, status string, image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long, thumb binary, politeness_ms long"
+)
+
+
+def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # per-partition init happens here (sessions, buckets) — once, not per row
+    host_elapsed: dict[str, int] = {}
+    for pdf in batches:
+        out = []
+        for row in pdf.itertuples(index=False):
+            m = _ID_RE.search(row.url_norm)
+            delay = int(getattr(row, "crawl_delay_ms", 0) or 0)
+            elapsed = host_elapsed.get(row.host, 0) + delay
+            host_elapsed[row.host] = elapsed
+            base = {
+                "sheet": row.sheet,
+                "row_idx": row.row_idx,
+                "url": row.url,
+                "url_norm": row.url_norm,
+                "url_hash": row.url_hash,
+                "host": row.host,
+                "folder": row.folder,
+                "politeness_ms": elapsed,
+            }
+            if m is None:
+                out.append(
+                    base
+                    | {
+                        "status": "nothing archived",
+                        "image_id": None,
+                        "bytes": None,
+                        "w": None,
+                        "h": None,
+                        "fmt": None,
+                        "caption": None,
+                        "phash": None,
+                        "thumb": None,
+                    }
+                )
+                continue
+            rec = image_record(int(m.group(1)))
+            px = decode_image(rec["bytes"])
+            out.append(
+                base
+                | {
+                    "status": "success",
+                    "image_id": rec["image_id"],
+                    "bytes": rec["bytes"],
+                    "w": rec["w"],
+                    "h": rec["h"],
+                    "fmt": rec["fmt"],
+                    "caption": rec["caption"],
+                    "phash": dhash64(px),
+                    "thumb": png_encode(thumbnail(px)),
+                }
+            )
+        yield pd.DataFrame.from_records(out)
+
+
+def fetch_archive(admitted: DataFrame) -> DataFrame:
+    """Run the fetch+enrich chain over admitted frontier rows; then the
+    native enrichers (F1 sha256, byte totals) JVM-side."""
+    fetched = admitted.mapInPandas(_fetch_batches, FETCH_RESULT_SCHEMA)
+    return (
+        fetched.withColumn(
+            "hash",
+            F.when(
+                F.col("bytes").isNotNull(),
+                F.concat(F.lit("SHA-256:"), F.sha2(F.col("bytes"), 256)),
+            ),
+        )
+        .withColumn("total_bytes", F.coalesce(F.length("bytes"), F.lit(0)).cast("long"))
+        .withColumn("processed_at", F.current_timestamp())
+    )
+
+
+MEDIA_STRUCT = (
+    "struct<id:string, mimetype:string, hash:string, phash:bigint, bytes:bigint, "
+    "urls:array<string>, props:map<string,string>>"
+)
+
+
+def to_archive_results(fetched: DataFrame, wave: int) -> DataFrame:
+    """Assemble the archive_results shape (FIXTURES.md §5) natively:
+    media nested array, A6 byte totals, per-partition lineage id."""
+    mimetype = F.when(F.col("fmt") == "png", "image/png").otherwise(
+        F.when(F.col("fmt").isNotNull(), "image/jpeg")
+    )
+    media = F.when(
+        F.col("bytes").isNotNull(),
+        F.array(
+            F.struct(
+                F.col("image_id").alias("id"),
+                mimetype.alias("mimetype"),
+                F.col("hash").alias("hash"),
+                F.col("phash").alias("phash"),
+                F.col("total_bytes").alias("bytes"),
+                F.array(F.col("url")).alias("urls"),
+                F.create_map(F.lit("caption"), F.col("caption")).alias("props"),
+            )
+        ),
+    ).otherwise(F.array().cast(f"array<{MEDIA_STRUCT}>"))
+    return fetched.select(
+        "url",
+        "url_norm",
+        "url_hash",
+        "status",
+        F.col("caption").alias("title"),
+        F.lit(None).cast("string").alias("content"),
+        F.col("processed_at").alias("ts"),
+        "processed_at",
+        "total_bytes",
+        media.alias("media"),
+        F.create_map(
+            F.lit("folder"), F.col("folder"), F.lit("host"), F.col("host")
+        ).alias("metadata"),
+        F.lit(wave).alias("wave"),
+        F.spark_partition_id().alias("lineage_partition"),
+        "sheet",
+        "row_idx",
+    )

@@ -1,0 +1,175 @@
+"""Frontier operators — canonicalize, dedup-vs-seen, politeness admission.
+
+This is the batch-iterative URL-frontier core demanded by the north rule. The
+reference processes URLs strictly sequentially
+(core/orchestrator.py:543-553); here each *wave* is a DataFrame job whose
+shuffles are planned explicitly:
+
+  wave plan =  seed filter (P11/P12, pushdown-able)
+             → canonicalize (native exprs, no shuffle)
+             → in-wave dedup (1 shuffle on url_hash; first-wins by crawl order)
+             → anti-join vs url_seen (same url_hash partitioning; Bloom
+               pre-prune turns most of it into a scan-local filter)
+             → politeness admission (1 shuffle on host — window top-k)
+             → salted repartition for the fetch stage (host skew kill)
+
+At 10^10-URL scale: url_seen is bucketed by ``pmod(url_hash, N_BUCKETS)``;
+each bucket carries a Bloom sidecar. A candidate wave is first filtered by
+``might_contain`` against the union-of-blooms — negatives (the common case
+for a crawl frontier: most discovered URLs are new... actually most are SEEN
+in steady state, so the Bloom's job is the reverse: a *negative* proves NEW
+without touching the big table; only Bloom-positives shuffle into the
+anti-join) — see SURVEY.md §4 "Bloom-partition pruning".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.url_exprs import archivable_url_expr, north_norm_expr, url_hash_expr
+
+N_BUCKETS = 256  # url_seen bucket count; at 10^10 rows -> ~40M rows/bucket
+SALT_BITS = 4  # per-host salt fan-out for the fetch repartition
+
+
+def seed_filter(seed: DataFrame, allow_sheets=None, block_sheets=None) -> DataFrame:
+    """P11 + P12: rows with a URL and no status; worksheet allow/block rules.
+
+    Reference: gsheet_feeder_db.py:71-79 (row predicate) and :102-106
+    (allow-list wins over block-list). Pure pushdown-able predicates.
+    """
+    out = seed.filter(
+        (F.trim(F.col("url")) != "") & (F.col("status").isNull() | (F.trim(F.col("status")) == ""))
+    )
+    if allow_sheets:
+        out = out.filter(F.col("sheet").isin(list(allow_sheets)))
+    elif block_sheets:
+        out = out.filter(~F.col("sheet").isin(list(block_sheets)))
+    return out
+
+
+def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """P1 fast-path validity + north-rule url_norm + url_hash + host columns.
+
+    All native Catalyst — stays inside WholeStageCodegen, no Python. Keeps
+    the original URL (reference keeps it as ``original_url``,
+    orchestrator.py:612-615).
+    """
+    u = F.col(url_col)
+    return (
+        df.filter(archivable_url_expr(u))
+        .withColumn("url_norm", north_norm_expr(u))
+        .withColumn("url_hash", url_hash_expr(F.col("url_norm")))
+        .withColumn(
+            "host",
+            F.lower(
+                F.regexp_replace(
+                    F.regexp_extract(F.col("url_norm"), r"^[a-z][a-z0-9+.\-]*://([^/?#]*)", 1),
+                    r":\d+$",
+                    "",
+                )
+            ),
+        )
+    )
+
+
+def crawl_order_cols() -> list[Column]:
+    """O1 total order: feeder enumeration order = (sheet, row_idx).
+
+    Reference: worksheets scanned in order, rows ascending
+    (gsheet_feeder_db.py:53-79, orchestrator.py:543-553).
+    """
+    return [F.col("sheet").asc(), F.col("row_idx").asc()]
+
+
+def dedup_in_wave(df: DataFrame) -> DataFrame:
+    """First occurrence per url_hash in crawl order (reference processes each
+    URL once by construction; ties broken by O1). One shuffle on url_hash."""
+    w = Window.partitionBy("url_hash").orderBy(*crawl_order_cols())
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def bucket_of(url_hash: Column) -> Column:
+    return F.pmod(url_hash, F.lit(N_BUCKETS))
+
+
+def anti_join_seen(frontier: DataFrame, url_seen: DataFrame, bloom=None) -> DataFrame:
+    """J1/J6: frontier rows whose url_hash is NOT in url_seen.
+
+    ``bloom`` is an optional BloomSidecar (operators/bloom.py) over
+    url_seen.url_hash. Bloom-negatives are provably NEW and bypass the
+    shuffle entirely; only the (small) positive slice — true-seen + FPR —
+    joins against the big table, and at 10^10 rows that join touches only the
+    url_hash buckets that contain positives (bucket pruning on pmod)."""
+    if bloom is None:
+        return frontier.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    probed = bloom.might_contain_col(frontier, "url_hash")
+    provably_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    checked = (
+        probed.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    )
+    return provably_new.unionByName(checked)
+
+
+def politeness_admission(
+    frontier: DataFrame, host_policy: DataFrame, wave_seconds: float = 60.0
+) -> DataFrame:
+    """O2 + J5: per-host token-bucket admission for one wave.
+
+    Broadcast-joins the tiny ``host_policy`` dim (J5 — no shuffle on the big
+    side), computes the per-host budget for the wave
+    (``min(max_tokens, wave_seconds/crawl_delay)``), ranks the host's URLs in
+    crawl order and admits the top-budget. Rows matching a robots_disallow
+    prefix are excluded *before* ranking (reported with admitted=false).
+
+    Reference analog: the sequential loop is the degenerate global-budget-1
+    case; FloodWait sleep telethon_extractor.py:108-110 is the only real
+    politeness in the reference. Returns all rows with an ``admitted`` flag
+    so the wave driver can defer the remainder to the next wave.
+    """
+    policy = F.broadcast(host_policy)
+    joined = frontier.join(policy, "host", "left")
+    path = F.regexp_extract(F.col("url_norm"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
+    disallowed = F.exists(
+        F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
+        lambda p: path.startswith(p),
+    )
+    budget = F.least(
+        F.coalesce(F.col("max_tokens"), F.lit(1_000_000)),
+        F.when(
+            F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0,
+            F.floor(F.lit(wave_seconds * 1000.0) / F.col("crawl_delay_ms")),
+        ).otherwise(F.lit(1_000_000)),
+    ).cast("long")
+    # rank = running count of *allowed* rows: robots-blocked rows must not
+    # consume budget slots (they are dropped, not deferred)
+    w = (
+        Window.partitionBy("host")
+        .orderBy(*crawl_order_cols())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn("robots_blocked", disallowed)
+        .withColumn(
+            "_rank", F.sum(F.when(disallowed, 0).otherwise(1)).over(w)
+        )
+        .withColumn(
+            "admitted", (~disallowed) & (F.col("_rank") <= budget)
+        )
+        .drop("_rank", "robots_disallow", "max_tokens")
+    )
+
+
+def salted_fetch_repartition(df: DataFrame, partitions: int) -> DataFrame:
+    """Kill host skew before the fetch UDF: repartition on
+    ``(host, url_hash % 2^SALT_BITS)`` so a Zipf-head host spreads over
+    2^SALT_BITS partitions while politeness state stays per-(host,salt)
+    shard (token budgets are divided by the shard count in fetch.py)."""
+    salt = F.pmod(F.col("url_hash"), F.lit(1 << SALT_BITS))
+    return df.repartition(partitions, F.col("host"), salt)

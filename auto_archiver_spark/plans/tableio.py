@@ -1,0 +1,134 @@
+"""TableIO — snapshot/commit/resume table layer (Iceberg-semantics fallback).
+
+The sandbox has no Iceberg runtime jar (no network), so this implements the
+same *contract* over partitioned parquet + JSON manifests, behind one small
+interface (SURVEY.md §7 risk item): atomic per-wave commits, snapshot lineage,
+read-at-latest, and checkpoint-resume. On a real cluster the calls map 1:1 to
+Iceberg: ``commit(append)`` -> ``df.writeTo(t).append()`` inside a single
+transaction per wave, ``WaveCheckpoint`` -> tagging snapshots with the wave id.
+
+Atomicity model: data files land in a new ``snap-XXXXX`` directory first; the
+table only *sees* them when the manifest JSON is atomically replaced
+(os.replace). A crash mid-wave leaves orphan directories that readers never
+reference — the resume test (tests/test_resume.py) exercises exactly this.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class TableIO:
+    root: str
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if not os.path.exists(p):
+            return {"snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store_manifest(self, table: str, manifest: dict) -> None:
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # the atomic commit point
+
+    def exists(self, table: str) -> bool:
+        return bool(self._load_manifest(table)["snapshots"])
+
+    def live_dirs(self, table: str, upto_snapshot: int | None = None) -> list[str]:
+        """Data dirs visible at (or before) a snapshot: everything appended
+        since the last overwrite."""
+        snaps = self._load_manifest(table)["snapshots"]
+        if upto_snapshot is not None:
+            snaps = [s for s in snaps if s["id"] <= upto_snapshot]
+        dirs: list[str] = []
+        for s in snaps:
+            if s["mode"] == "overwrite":
+                dirs = []
+            dirs.append(os.path.join(self._tdir(table), s["dir"]))
+        return dirs
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        dirs = self.live_dirs(table)
+        if not dirs:
+            raise FileNotFoundError(f"table {table} has no committed snapshots")
+        return spark.read.parquet(*dirs)
+
+    def read_or_empty(self, spark: SparkSession, table: str, schema: str) -> DataFrame:
+        if self.exists(table):
+            return self.read(spark, table)
+        return spark.createDataFrame([], schema)
+
+    def commit(self, df: DataFrame, table: str, wave: int, mode: str = "append") -> int:
+        """Write df as a new snapshot of ``table``; returns the snapshot id."""
+        manifest = self._load_manifest(table)
+        next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
+        rel = f"snap-{next_id:05d}"
+        df.write.mode("overwrite").parquet(os.path.join(self._tdir(table), rel))
+        manifest["snapshots"].append({"id": next_id, "dir": rel, "wave": wave, "mode": mode})
+        self._store_manifest(table, manifest)
+        return next_id
+
+    def rollback_to(self, table: str, snapshot_id: int) -> None:
+        """Drop snapshots newer than ``snapshot_id`` (manifest truncation;
+        orphan data dirs are deleted lazily)."""
+        manifest = self._load_manifest(table)
+        keep = [s for s in manifest["snapshots"] if s["id"] <= snapshot_id]
+        drop = [s for s in manifest["snapshots"] if s["id"] > snapshot_id]
+        self._store_manifest(table, {"snapshots": keep})
+        for s in drop:
+            shutil.rmtree(os.path.join(self._tdir(table), s["dir"]), ignore_errors=True)
+
+
+@dataclass
+class WaveCheckpoint:
+    """Cross-table wave atomicity: after every table of wave k committed, the
+    checkpoint records {wave, per-table snapshot ids}. Resume truncates each
+    table back to the ids of the last *fully* committed wave, so a crash
+    between table commits can never leak a half-wave (the reference analog is
+    the per-row resumable gsheet status cell, gsheet_feeder_db.py:115-126)."""
+
+    root: str
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, "_checkpoint.json")
+
+    def load(self) -> dict | None:
+        if not os.path.exists(self.path):
+            return None
+        with open(self.path) as f:
+            return json.load(f)
+
+    def commit_wave(self, wave: int, snapshot_ids: dict[str, int], extra: dict | None = None):
+        state = {"wave": wave, "snapshots": snapshot_ids, **(extra or {})}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self.path)
+
+    def recover(self, io: TableIO) -> dict | None:
+        """Roll every table back to the last fully-committed wave's snapshot."""
+        state = self.load()
+        if state is None:
+            for t in os.listdir(io.root) if os.path.isdir(io.root) else []:
+                if os.path.isdir(os.path.join(io.root, t)):
+                    io.rollback_to(t, 0)
+            return None
+        for table, sid in state["snapshots"].items():
+            io.rollback_to(table, sid)
+        return state

@@ -1,0 +1,241 @@
+"""The batch-iterative crawl driver: frontier waves with checkpointed state.
+
+One wave = one declarative DataFrame plan (SURVEY.md §3 "Spark lifecycle"):
+
+    seed/deferred frontier
+      -> P11 seed filter -> P1+north canonicalize (narrow, codegen)
+      -> in-wave dedup            (shuffle 1: url_hash)
+      -> anti-join vs url_seen    (reuses url_hash partitioning; Bloom
+                                   pre-prune skips the join for provable-new)
+      -> politeness admission     (shuffle 2: host window)
+      -> salted repartition       (shuffle 3: host x salt — kills Zipf skew)
+      -> fetch+enrich mapInPandas (Arrow batches)
+      -> commits: images append, archive_results append, url_seen append,
+         per-wave metrics row (incl. per-partition lineage)
+
+State between waves lives in TableIO snapshots; the checkpoint commits the
+wave atomically across tables. Deferred rows (admission budget exhausted)
+re-enter the next wave — the reference analog is its retry/backoff
+(extractor.py:74) and the resumable status cell (gsheet_feeder_db.py:115-126).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_content_keep_first
+from ..operators.fetch import fetch_archive, to_archive_results
+from ..operators.frontier import (
+    anti_join_seen,
+    canonicalize,
+    dedup_in_wave,
+    politeness_admission,
+    salted_fetch_repartition,
+    seed_filter,
+)
+
+URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
+FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
+
+
+@dataclass
+class CrawlConfig:
+    wave_seconds: float = 60.0
+    max_waves: int = 32
+    fetch_partitions: int = 64
+    use_bloom: bool = True
+    bloom_fpp: float = 0.01
+    dedup_content: bool = True  # A2: content-addressed image dedup before sink
+    allow_sheets: tuple = ()
+    block_sheets: tuple = ()
+
+
+@dataclass
+class WaveStats:
+    wave: int
+    candidates: int
+    new_urls: int
+    admitted: int
+    robots_blocked: int
+    deferred: int
+    archived_ok: int
+    bytes_written: int
+    seconds: float
+    extra: dict = field(default_factory=dict)
+
+
+def run_crawl(
+    spark: SparkSession,
+    io,
+    checkpoint,
+    seed: DataFrame,
+    host_policy: DataFrame,
+    config: CrawlConfig | None = None,
+    stop_after_wave: int | None = None,
+) -> list[WaveStats]:
+    """Run (or resume) the crawl until the frontier drains. Returns per-wave
+    stats. ``stop_after_wave`` simulates a crash for the resume tests."""
+    config = config or CrawlConfig()
+    state = checkpoint.recover(io)
+    start_wave = (state["wave"] + 1) if state else 0
+
+    if start_wave == 0:
+        base = seed_filter(seed, config.allow_sheets or None, config.block_sheets or None)
+        frontier = canonicalize(base).select(
+            *FRONTIER_COLS, "url_norm", "url_hash", "host"
+        )
+        io.commit(frontier, "frontier", wave=0, mode="overwrite")
+    else:
+        frontier = io.read(spark, "frontier")
+
+    stats: list[WaveStats] = []
+    for wave in range(start_wave, config.max_waves):
+        t0 = time.monotonic()
+        if frontier.isEmpty():
+            break
+
+        marks = {}
+        _last = [time.monotonic()]
+
+        def mark(name):
+            now = time.monotonic()
+            marks[name] = round(now - _last[0], 3)
+            _last[0] = now
+
+        # shuffle 1: in-wave dedup; checkpointed so the anti-join, admission
+        # and stats all reuse one materialization
+        cand = dedup_in_wave(frontier).localCheckpoint()
+        n_cand = cand.count()
+        mark("dedup")
+        seen = io.read_or_empty(spark, "url_seen", URL_SEEN_SCHEMA)
+
+        bloom = None
+        if config.use_bloom and io.exists("url_seen"):
+            from ..operators.bloom import BloomSidecar  # noqa: PLC0415
+            from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
+
+            bloom = BloomSidecar.build(seen, N_BUCKETS)
+            if not bloom.buckets:
+                bloom = None
+        mark("bloom_build")
+        new_urls = anti_join_seen(cand, seen, bloom)
+
+        # shuffle 2: admission window; one materialization feeds four consumers
+        adm = politeness_admission(new_urls, host_policy, config.wave_seconds).localCheckpoint()
+        adm_stats = adm.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("admitted").cast("long")).alias("admitted"),
+            F.sum(F.col("robots_blocked").cast("long")).alias("robots"),
+        ).collect()[0]
+        admitted = adm.filter(F.col("admitted"))
+        deferred = adm.filter(~F.col("admitted") & ~F.col("robots_blocked"))
+        mark("admission")
+
+        # shuffle 3 + the expensive Arrow UDF — exactly one pass, cached;
+        # results/images/lineage all derive from it with narrow ops only
+        # (MEMORY_AND_DISK: the first consumer computes + caches in one job)
+        fetched = fetch_archive(
+            salted_fetch_repartition(admitted.drop("admitted", "robots_blocked"),
+                                     config.fetch_partitions)
+        ).persist()
+        n_fetched = fetched.count()  # materialize UDF + cache exactly once
+        mark("fetch_udf")
+        results = to_archive_results(fetched, wave)
+
+        images = fetched.filter(F.col("status") == "success").select(
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+            F.col("hash").alias("sha256"),
+            F.col("thumb"),
+            F.lit(wave).alias("wave"),
+            # url_hash is the unique per-row key this wave (frontier deduped);
+            # image_id is NOT unique — two URLs can serve the same payload
+            F.col("url_hash").alias("_uid"),
+        )
+        if config.dedup_content:
+            # A2 global content-addressed dedup — broadcast variants so the
+            # heavy bytes column never shuffles (see dedup_content_keep_first)
+            images = dedup_content_keep_first(images, key="sha256", id_col="_uid")
+            if io.exists("images"):
+                prior = io.read(spark, "images").select("sha256")
+                images = images.join(F.broadcast(prior), "sha256", "left_anti")
+        images = images.drop("_uid")
+
+        snap_ids = {}
+        snap_ids["images"] = io.commit(images, "images", wave)
+        mark("images_commit")
+        snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
+        mark("results_commit")
+        newly_seen = admitted.select(
+            "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
+        )
+        snap_ids["url_seen"] = io.commit(newly_seen, "url_seen", wave)
+        next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+        snap_ids["frontier"] = io.commit(next_frontier, "frontier", wave, mode="overwrite")
+
+        lineage = (
+            results.groupBy("lineage_partition")
+            .agg(F.count("*").alias("rows"), F.sum("total_bytes").alias("bytes"))
+            .withColumn("wave", F.lit(wave))
+        )
+        snap_ids["lineage"] = io.commit(lineage, "lineage", wave)
+        mark("state_commits")
+
+        fetch_stats = fetched.agg(
+            F.sum((F.col("status") == "success").cast("long")).alias("ok"),
+            F.sum(F.coalesce(F.length("bytes"), F.lit(0)).cast("long")).alias("bytes"),
+        ).collect()[0]
+        ws = WaveStats(
+            wave=wave,
+            candidates=n_cand,
+            new_urls=int(adm_stats["n"]),
+            admitted=int(adm_stats["admitted"] or 0),
+            robots_blocked=int(adm_stats["robots"] or 0),
+            deferred=int(
+                (adm_stats["n"] or 0) - (adm_stats["admitted"] or 0) - (adm_stats["robots"] or 0)
+            ),
+            archived_ok=int(fetch_stats["ok"] or 0),
+            bytes_written=int(fetch_stats["bytes"] or 0),
+            seconds=time.monotonic() - t0,
+            extra=marks,
+        )
+        metrics = spark.createDataFrame(
+            [
+                (
+                    ws.wave,
+                    ws.candidates,
+                    ws.new_urls,
+                    ws.admitted,
+                    ws.robots_blocked,
+                    ws.deferred,
+                    ws.archived_ok,
+                    ws.bytes_written,
+                    float(ws.seconds),
+                )
+            ],
+            "wave int, candidates long, new_urls long, admitted long, robots_blocked long, "
+            "deferred long, archived_ok long, bytes_written long, seconds double",
+        )
+        snap_ids["metrics"] = io.commit(metrics, "metrics", wave)
+
+        checkpoint.commit_wave(wave, snap_ids)
+        stats.append(ws)
+        fetched.unpersist()
+        cand.unpersist()
+        adm.unpersist()
+
+        if stop_after_wave is not None and wave >= stop_after_wave:
+            return stats
+        if ws.deferred == 0:
+            break
+        frontier = next_frontier
+    return stats

@@ -1,0 +1,45 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the same config block is what we'd ship in
+spark-defaults on a 1000-executor cluster: AQE on (runtime coalesce +
+skew-join splitting), Arrow enabled for every pandas UDF boundary, and a
+bounded Arrow batch size because the ``bytes`` image column makes rows heavy
+(SURVEY.md §4 "chunked hashing" analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "auto-archiver-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    return (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A4 merge semantics: scalar map keys overwrite later-wins
+        # (reference core/metadata.py:47-60) via map_concat
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # image bytes make rows heavy: cap Arrow batches so a fetch/enrich
+        # batch of 512x384 RGB rows stays well under executor memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # image payloads are already-compressed PNG: zstd passes them through
+        # cheaply where snappy/dictionary paths burn CPU on incompressible data
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )

@@ -1,0 +1,135 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Times the headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full materialization through the noop sink
+(count() alone would let Catalyst prune the very columns being benchmarked),
+then measures the crawl loop itself: URLs fetched+archived/sec and
+frontier-update (anti-join) rows/sec on the synthetic seed frontier —
+the BASELINE.json headline metrics.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+tools/scaling_bench.py (separate JVMs per parallelism level) and recorded in
+BENCH/BASELINE.md; this script stays single-config so the driver's per-round
+run is bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from auto_archiver_spark import queries as Q  # noqa: E402
+from auto_archiver_spark.plans.tableio import TableIO, WaveCheckpoint  # noqa: E402
+from auto_archiver_spark.plans.wave import CrawlConfig, run_crawl  # noqa: E402
+from auto_archiver_spark.session import get_spark  # noqa: E402
+from auto_archiver_spark.sources.fixture import frontier_seed_df, host_policy_df  # noqa: E402
+
+HEADLINE = [
+    "frontier_admission",
+    "frontier_anti_join",
+    "url_canonicalize",
+    "url_best_quality",
+    "dedup_first_per_key",
+    "pricing_summary",
+    "dedup_exact_text",
+    "ngram_jaccard",
+    "cosine_topk",
+    "minhash_lsh",
+]
+
+CRAWL_SEED_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEED_N", "3000"))
+
+
+def time_query(spark, sf_dir: str, name: str) -> float:
+    t0 = time.monotonic()
+    Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def crawl_bench(spark, n: int) -> dict:
+    """Engine throughput: permissive politeness (huge token buckets, no
+    crawl-delay) so the measurement is the pipeline, not the throttle; robots
+    rules stay on. The politeness-constrained path is covered by tests."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    root = tempfile.mkdtemp(prefix="aas_bench_crawl_")
+    try:
+        io, cp = TableIO(root), WaveCheckpoint(root)
+        seed = frontier_seed_df(spark, n).localCheckpoint()
+        policy = (
+            host_policy_df(spark)
+            .withColumn("max_tokens", F.lit(10_000_000))
+            .withColumn("crawl_delay_ms", F.lit(0))
+        )
+        # warm-up: python workers, parquet writer JIT, shuffle paths — the
+        # one-time constants a long-running cluster job never sees again
+        parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        warm = tempfile.mkdtemp(prefix="aas_bench_warm_")
+        run_crawl(
+            spark,
+            TableIO(warm),
+            WaveCheckpoint(warm),
+            frontier_seed_df(spark, 300),
+            policy,
+            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts, max_waves=1),
+        )
+        shutil.rmtree(warm, ignore_errors=True)
+        t0 = time.monotonic()
+        stats = run_crawl(
+            spark,
+            io,
+            cp,
+            seed,
+            policy,
+            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts, max_waves=4),
+        )
+        wall = time.monotonic() - t0
+        archived = sum(s.archived_ok for s in stats)
+        frontier_rows = sum(s.candidates for s in stats)
+        anti_sec = sum(s.seconds for s in stats)
+        return {
+            "crawl_wall_sec": round(wall, 3),
+            "crawl_urls_archived": archived,
+            "crawl_urls_per_sec": round(archived / wall, 2),
+            "frontier_rows_per_sec": round(frontier_rows / max(anti_sec, 1e-9), 2),
+            "crawl_waves": len(stats),
+            "crawl_stage_sec": stats[0].extra if stats else {},
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app="aas-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(time_query(spark, sf_dir, name), 3)
+    total = round(sum(per_query.values()), 3)
+
+    crawl = crawl_bench(spark, CRAWL_SEED_N)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "cores": cores,
+        **crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

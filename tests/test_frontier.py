@@ -1,0 +1,132 @@
+"""Frontier operator units: seed filter (P11/P12), canonicalize, in-wave
+dedup (O1 ties), Bloom sidecar guarantees, politeness admission budget math,
+salted repartition fan-out."""
+
+from pyspark.sql import functions as F
+
+from auto_archiver_spark.functions.urls import north_norm
+from auto_archiver_spark.operators.bloom import BloomSidecar
+from auto_archiver_spark.operators.frontier import (
+    anti_join_seen,
+    canonicalize,
+    dedup_in_wave,
+    politeness_admission,
+    salted_fetch_repartition,
+    seed_filter,
+)
+from auto_archiver_spark.sources.fixture import (
+    frontier_seed_df,
+    frontier_seed_rows,
+    host_policy_df,
+)
+
+
+def _frontier(spark, n=200):
+    return canonicalize(seed_filter(frontier_seed_df(spark, n)))
+
+
+def test_seed_filter_predicate(spark):
+    raw = frontier_seed_df(spark, 200)
+    kept = seed_filter(raw)
+    rows = kept.collect()
+    assert all(r.url.strip() and not (r.status or "").strip() for r in rows)
+    exp = sum(
+        1 for r in frontier_seed_rows(200) if r["url"].strip() and not r["status"].strip()
+    )
+    assert len(rows) == exp
+
+
+def test_seed_filter_sheet_rules(spark):
+    raw = frontier_seed_df(spark, 100)
+    only1 = seed_filter(raw, allow_sheets=["ws1"]).select("sheet").distinct().collect()
+    assert [r.sheet for r in only1] == ["ws1"]
+    no1 = seed_filter(raw, block_sheets=["ws1"]).select("sheet").distinct().collect()
+    assert [r.sheet for r in no1] == ["ws2"]
+
+
+def test_canonicalize_columns(spark):
+    rows = _frontier(spark).collect()
+    assert rows
+    for r in rows:
+        assert r.url_norm == north_norm(r.url)
+        assert r.host == r.host.lower()
+    # invalid URLs filtered (P1 fast path)
+    assert all(r.url.startswith(("http://", "https://")) for r in rows)
+    assert not any("localhost" in r.host or r.host.startswith("10.") for r in rows)
+
+
+def test_dedup_in_wave_keeps_first_in_crawl_order(spark):
+    fr = _frontier(spark, 300)
+    d = dedup_in_wave(fr)
+    assert d.groupBy("url_hash").count().filter("count > 1").isEmpty()
+    # the survivor of each group is the (sheet,row_idx)-minimal row
+    first = {
+        r.url_hash: (r.sheet, r.row_idx)
+        for r in fr.groupBy("url_hash")
+        .agg(F.min(F.struct("sheet", "row_idx")).alias("m"))
+        .select("url_hash", "m.sheet", "m.row_idx")
+        .collect()
+    }
+    for r in d.collect():
+        assert (r.sheet, r.row_idx) == first[r.url_hash]
+
+
+def test_bloom_sidecar_no_false_negatives(spark):
+    fr = dedup_in_wave(_frontier(spark, 300)).localCheckpoint()
+    seen = fr.limit(80).select("url_hash", "url_norm").withColumn(
+        "first_seen_wave", F.lit(0)
+    )
+    sidecar = BloomSidecar.build(seen, n_buckets=16)
+    probed = sidecar.might_contain_col(fr)
+    seen_hashes = {r.url_hash for r in seen.collect()}
+    rows = probed.collect()
+    fp = 0
+    for r in rows:
+        if r.url_hash in seen_hashes:
+            assert r.maybe_seen, "bloom false negative!"
+        elif r.maybe_seen:
+            fp += 1
+    assert fp / max(len(rows) - len(seen_hashes), 1) < 0.05
+
+
+def test_anti_join_with_and_without_bloom_agree(spark):
+    fr = dedup_in_wave(_frontier(spark, 300)).localCheckpoint()
+    seen = fr.limit(60).select("url_hash", "url_norm").withColumn(
+        "first_seen_wave", F.lit(0)
+    )
+    plain = {r.url_hash for r in anti_join_seen(fr, seen).collect()}
+    bloom = BloomSidecar.build(seen, n_buckets=16)
+    with_bloom = {r.url_hash for r in anti_join_seen(fr, seen, bloom).collect()}
+    assert plain == with_bloom
+    assert plain.isdisjoint({r.url_hash for r in seen.collect()})
+
+
+def test_admission_budget_math(spark):
+    fr = dedup_in_wave(_frontier(spark, 400))
+    adm = politeness_admission(fr, host_policy_df(spark), wave_seconds=10.0)
+    got = {
+        r.host: r.cnt
+        for r in adm.filter("admitted").groupBy("host").count().withColumnRenamed("count", "cnt").collect()
+    }
+    # archive.example.io: crawl_delay 5000ms, max_tokens 4 -> min(4, 10000/5000)=2
+    assert got.get("archive.example.io", 0) <= 2
+    # robots: /private paths on media.hotsite.example & photos.example.gov blocked
+    blocked = adm.filter("robots_blocked").collect()
+    assert all("/private/" in r.url_norm for r in blocked)
+    assert not any(r.admitted for r in blocked)
+    # no admitted row exceeds its host budget; blocked rows consume no slots
+    admitted = adm.filter("admitted")
+    assert admitted.count() + adm.filter("NOT admitted").count() == adm.count()
+
+
+def test_salted_repartition_spreads_hot_host(spark):
+    fr = dedup_in_wave(_frontier(spark, 600))
+    rep = salted_fetch_repartition(fr, 16)
+    dist = (
+        rep.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("host") == "media.hotsite.example")
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert dist >= 4, f"hot host only landed in {dist} partitions"

@@ -1,0 +1,79 @@
+"""Near-dup sketch operators: MinHash-LSH (planted duplicates must surface),
+SimHash block buckets, phash near-dup pairs on the image fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_archiver_spark.operators.dedup import (
+    dedup_exact_content,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    phash_near_dup_pairs,
+    simhash_buckets,
+)
+from auto_archiver_spark.sources.fixture import images_df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away today",
+        "spark dataframes shuffle partitions broadcast joins skew salting adaptive",
+        "completely different text about gardens flowers bees honey and summer rain",
+        "url frontier politeness robots crawl delay token bucket admission window",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t))
+        rows.append((100 + i, t))  # exact duplicate -> jaccard 1.0
+    rows.append((200, base[0].replace("today", "tomorrow")))  # near-dup of 0
+    rows.append((201, "one two"))  # shorter than a shingle
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_finds_exact_duplicates(docs):
+    cands = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs).collect()}
+    for i in range(4):
+        assert (i, 100 + i) in cands, f"planted duplicate {i} missed"
+
+
+def test_minhash_dedup_verifies_with_true_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_dedup(docs, threshold=0.5).collect()}
+    for i in range(4):
+        assert pairs.get((i, 100 + i)) == 1.0
+    # the near-dup pair (0,200) has high but sub-1 jaccard if surfaced
+    if (0, 200) in pairs:
+        assert 0.5 <= pairs[(0, 200)] < 1.0
+    # unrelated docs never pass the verify stage
+    assert (0, 1) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_docs_share_all_blocks(docs):
+    rows = simhash_buckets(docs).collect()
+    sig = {}
+    for r in rows:
+        sig.setdefault(r.id, {})[r.block] = r.val
+    for i in range(4):
+        assert sig[i] == sig[100 + i]
+    assert sig[0] != sig[2]
+    assert {r.block for r in rows} == {0, 1, 2, 3}
+
+
+def test_phash_near_dup_pairs_on_fixture(spark):
+    imgs = images_df(spark, 130, partitions=4).localCheckpoint()
+    pairs = phash_near_dup_pairs(imgs, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # i=60 is a near-dup (1px noise) of i=59; i=96 an exact dup of i=95
+    assert ("img_00000059", "img_00000060") in found
+    assert ("img_00000095", "img_00000096") in found
+    for r in pairs:
+        assert r.hamming <= 3
+
+
+def test_exact_content_dedup_on_fixture(spark):
+    imgs = images_df(spark, 130, partitions=4)
+    deduped = dedup_exact_content(imgs)
+    assert deduped.groupBy("sha256").count().filter("count > 1").isEmpty()
+    # the exact duplicate img_96 is dropped, its source 95 kept
+    ids = {r.image_id for r in deduped.select("image_id").collect()}
+    assert "img_00000095" in ids and "img_00000096" not in ids
