@@ -79,9 +79,11 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
     filters = raw[:, 0]
-    out = raw[:, 1:].astype(np.int64).reshape(h, w, 3)
     if np.any(filters > 2):
         raise ValueError("unsupported PNG filter")
+    if not filters.any():  # our encoder's output: filter 0 everywhere, zero-copy path
+        return raw[:, 1:].reshape(h, w, 3).copy()
+    out = raw[:, 1:].astype(np.int64).reshape(h, w, 3)
     for y in range(h):  # h is small (<=512); unfiltering is row-sequential by spec
         f = filters[y]
         if f == 1:  # Sub
@@ -93,7 +95,7 @@ def png_decode(data: bytes) -> np.ndarray:
 
 def lossy_encode(pixels: np.ndarray) -> bytes:
     """Deterministic lossy stand-in codec (see module doc)."""
-    q = ((pixels.astype(np.int64) + _LOSSY_STEP // 2) // _LOSSY_STEP * _LOSSY_STEP).clip(0, 255)
+    q = ((pixels.astype(np.int16) + _LOSSY_STEP // 2) // _LOSSY_STEP * _LOSSY_STEP).clip(0, 255)
     return _QJPG_MAGIC + png_encode(q.astype(np.uint8))
 
 

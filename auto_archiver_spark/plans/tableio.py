@@ -73,12 +73,26 @@ class TableIO:
             return self.read(spark, table)
         return spark.createDataFrame([], schema)
 
-    def commit(self, df: DataFrame, table: str, wave: int, mode: str = "append") -> int:
-        """Write df as a new snapshot of ``table``; returns the snapshot id."""
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        wave: int,
+        mode: str = "append",
+        compression: str | None = None,
+    ) -> int:
+        """Write df as a new snapshot of ``table``; returns the snapshot id.
+
+        ``compression`` overrides the session parquet codec — payload tables
+        carrying already-compressed image bytes should pass "uncompressed"
+        (zstd/snappy burn 4-8x CPU on incompressible data for ~0% gain)."""
         manifest = self._load_manifest(table)
         next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
         rel = f"snap-{next_id:05d}"
-        df.write.mode("overwrite").parquet(os.path.join(self._tdir(table), rel))
+        writer = df.write.mode("overwrite")
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.parquet(os.path.join(self._tdir(table), rel))
         manifest["snapshots"].append({"id": next_id, "dir": rel, "wave": wave, "mode": mode})
         self._store_manifest(table, manifest)
         return next_id

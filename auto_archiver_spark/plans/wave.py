@@ -135,14 +135,20 @@ def run_crawl(
         deferred = adm.filter(~F.col("admitted") & ~F.col("robots_blocked"))
         mark("admission")
 
-        # shuffle 3 + the expensive Arrow UDF — exactly one pass, cached;
-        # results/images/lineage all derive from it with narrow ops only
-        # (MEMORY_AND_DISK: the first consumer computes + caches in one job)
-        fetched = fetch_archive(
+        # shuffle 3 + the expensive Arrow UDF — exactly ONE pass, materialized
+        # straight into an uncompressed parquet staging table (persist() of
+        # heavy binary rows costs ~5x the UDF itself in block-store copies;
+        # a columnar staging write is one streaming pass, and every
+        # downstream reader except the images copy prunes the bytes column)
+        fetch_plan = fetch_archive(
             salted_fetch_repartition(admitted.drop("admitted", "robots_blocked"),
                                      config.fetch_partitions)
-        ).persist()
-        n_fetched = fetched.count()  # materialize UDF + cache exactly once
+        )
+        snap_ids = {}
+        snap_ids["fetch_out"] = io.commit(
+            fetch_plan, "fetch_out", wave, mode="overwrite", compression="uncompressed"
+        )
+        fetched = io.read(spark, "fetch_out")
         mark("fetch_udf")
         results = to_archive_results(fetched, wave)
 
@@ -170,8 +176,7 @@ def run_crawl(
                 images = images.join(F.broadcast(prior), "sha256", "left_anti")
         images = images.drop("_uid")
 
-        snap_ids = {}
-        snap_ids["images"] = io.commit(images, "images", wave)
+        snap_ids["images"] = io.commit(images, "images", wave, compression="uncompressed")
         mark("images_commit")
         snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
         mark("results_commit")
@@ -190,9 +195,10 @@ def run_crawl(
         snap_ids["lineage"] = io.commit(lineage, "lineage", wave)
         mark("state_commits")
 
+        # total_bytes was computed in the UDF stage — this scan prunes `bytes`
         fetch_stats = fetched.agg(
             F.sum((F.col("status") == "success").cast("long")).alias("ok"),
-            F.sum(F.coalesce(F.length("bytes"), F.lit(0)).cast("long")).alias("bytes"),
+            F.sum("total_bytes").alias("bytes"),
         ).collect()[0]
         ws = WaveStats(
             wave=wave,
@@ -229,7 +235,6 @@ def run_crawl(
 
         checkpoint.commit_wave(wave, snap_ids)
         stats.append(ws)
-        fetched.unpersist()
         cand.unpersist()
         adm.unpersist()
 

@@ -315,6 +315,130 @@ def q_simhash_buckets(spark, sf):
     return simhash_buckets(d).select("id", "simhash", "block", "val")
 
 
+# --- scalar-function tier (F9-F13, O4-O6, A8, A9, J2, §2.7 set ops) ---------------
+
+
+def q_storage_key(spark, sf):
+    """F11 slugify + F13 storage key + O5/O6 truncation (reference
+    storage.py:80-115): folder/slug-{id}/{hash24}.txt."""
+    d = load(spark, sf, "documents")
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.substring(F.col("text"), 1, 30)), r"[^a-z0-9]+", "-"),
+        r"^-|-$",
+        "",
+    )
+    key = F.concat_ws(
+        "/",
+        F.col("source"),
+        F.concat(slug, F.lit("-"), F.col("doc_id").cast("string")),
+        F.concat(F.substring(F.md5("text"), 1, 24), F.lit(".txt")),
+    )
+    return d.select("doc_id", key.alias("storage_key"))
+
+
+def q_timestamp_format(spark, sf):
+    """F9 timestamp normalization (utils/misc.py:64-102): ISO-8601 + epoch."""
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")).alias("ts_iso"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+def q_human_bytes(spark, sf):
+    """F10 human-readable byte formatting (meta_enricher.py:39-44)."""
+    ev = load(spark, sf, "events")
+    b = (F.col("value") * 1000).cast("long")
+    unit = (
+        F.when(b < 1024, "B")
+        .when(b < 1024 * 1024, "KB")
+        .otherwise("MB")
+    )
+    val = (
+        F.when(b < 1024, b.cast("double"))
+        .when(b < 1024 * 1024, F.round(b / 1024.0, 1))
+        .otherwise(F.round(b / (1024.0 * 1024.0), 1))
+    )
+    return ev.select("event_id", val.alias("hval"), unit.alias("hunit"))
+
+
+def q_pdq_list(spark, sf):
+    """A8 per-group comma-joined hash list (gsheet_feeder_db.py:164-171)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("l_partkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("part_csv")
+    )
+
+
+def q_first_match(spark, sf):
+    """A9 first-matching-element (metadata.py:200-204): first long token."""
+    d = load(spark, sf, "documents")
+    toks = T.tokens_expr(F.col("text"))
+    first_long = F.try_element_at(F.filter(toks, lambda t: F.length(t) > 5), F.lit(1))
+    return d.select("doc_id", first_long.alias("first_long_token"))
+
+
+def q_coalesce_merge(spark, sf):
+    """J2 cached-merge precedence: left join + per-column coalesce
+    (orchestrator.py:622)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("unknown")).alias("buyer"),
+        F.coalesce("c_nationkey", F.lit(-1)).alias("nation"),
+    )
+
+
+def q_union_feeders(spark, sf):
+    """§2.7 multi-feeder union (orchestrator.py:545-546): distinct union."""
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "event_id")
+    b = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id")
+    return a.union(b).distinct()
+
+
+def q_intersect_hosts(spark, sf):
+    """§2.7 intersection (allow-list semantics): users with BOTH clicks and views."""
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    return a.intersect(b)
+
+
+def q_thumbnail_plan(spark, sf):
+    """O4 thumbnail count + evenly-spaced timestamps
+    (thumbnail_enricher.py:51-52): n = min(max(1, dur/60), 4)."""
+    ev = load(spark, sf, "events")
+    n = F.least(F.greatest(F.floor(F.col("value") / 60), F.lit(1)), F.lit(4)).cast("int")
+    # integer centiseconds via floor: round() tie-breaking differs between
+    # engines and value/(n+1) lands on exact halves constantly
+    offsets = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.floor(i * F.col("value") * 100 / (n + 1)).cast("long"),
+    )
+    return ev.select("event_id", n.alias("n_thumbs"), offsets.alias("thumb_ts"))
+
+
+def q_embedding_neighbors(spark, sf):
+    """Embedding near-dup check on consecutive vectors: cosine + flag."""
+    from .operators.similarity import cosine_expr  # noqa: PLC0415
+
+    e = load(spark, sf, "embeddings").select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("id_a"), F.col("v").alias("vb"))
+    j = a.join(b, "id_a")
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 5)
+    return j.select(
+        "id_a", (F.col("id_a") + 1).alias("id_b"), cos.alias("cos"), (cos >= 0.8).alias("near_dup")
+    )
+
+
 QUERIES = {
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -336,6 +460,16 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "storage_key": q_storage_key,
+    "timestamp_format": q_timestamp_format,
+    "human_bytes": q_human_bytes,
+    "pdq_list": q_pdq_list,
+    "first_match": q_first_match,
+    "coalesce_merge": q_coalesce_merge,
+    "union_feeders": q_union_feeders,
+    "intersect_hosts": q_intersect_hosts,
+    "thumbnail_plan": q_thumbnail_plan,
+    "embedding_neighbors": q_embedding_neighbors,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
 }
@@ -524,6 +658,71 @@ ORACLE = {
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
                  e.vec_id LIMIT 10
+    """,
+    "storage_key": """
+        WITH slug AS (SELECT doc_id, source, text,
+            regexp_replace(regexp_replace(lower(substr(text, 1, 30)), '[^a-z0-9]+', '-', 'g'),
+                           '^-|-$', '', 'g') AS s
+          FROM documents)
+        SELECT doc_id, source || '/' || s || '-' || doc_id || '/'
+               || substr(md5(text), 1, 24) || '.txt' AS storage_key
+        FROM slug
+    """,
+    "timestamp_format": """
+        SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts_iso,
+               CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        FROM events
+    """,
+    "human_bytes": """
+        WITH b AS (SELECT event_id, CAST(value * 1000 AS BIGINT) AS b FROM events)
+        SELECT event_id,
+          CASE WHEN b < 1024 THEN CAST(b AS DOUBLE)
+               WHEN b < 1048576 THEN round(b / 1024.0, 1)
+               ELSE round(b / 1048576.0, 1) END AS hval,
+          CASE WHEN b < 1024 THEN 'B' WHEN b < 1048576 THEN 'KB' ELSE 'MB' END AS hunit
+        FROM b
+    """,
+    "pdq_list": """
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(l_partkey)), ',') AS part_csv
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "first_match": """
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> length(t) > 5)[1]
+                 AS first_long_token
+        FROM documents
+    """,
+    "coalesce_merge": """
+        SELECT o_orderkey, coalesce(c_name, 'unknown') AS buyer,
+               coalesce(c_nationkey, -1) AS nation
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    "union_feeders": """
+        SELECT DISTINCT user_id, event_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT DISTINCT user_id, event_id FROM events WHERE event_type = 'signup'
+    """,
+    "intersect_hosts": """
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    """,
+    "thumbnail_plan": """
+        WITH n AS (SELECT event_id, value,
+            CAST(least(greatest(CAST(floor(value / 60) AS BIGINT), 1), 4) AS INT) AS n_thumbs
+          FROM events)
+        SELECT event_id, n_thumbs,
+               [CAST(floor(i * value * 100 / (n_thumbs + 1)) AS BIGINT)
+                for i in generate_series(1, n_thumbs)] AS thumb_ts
+        FROM n
+    """,
+    "embedding_neighbors": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 5) AS cos,
+               round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
     """,
     # minhash_lsh / simhash_buckets: md5-derived 64-bit sketch arithmetic is not
     # expressible in portable SQL -> rows-only driver check; exact-value pytest

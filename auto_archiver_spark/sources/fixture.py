@@ -62,19 +62,22 @@ def host_for(i: int) -> str:
 def image_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Seeded per-id RGB gradient+noise array (FIXTURES.md §1)."""
     rng = np.random.default_rng(SEED * 1_000_003 + i)
-    yy, xx = np.mgrid[0:h, 0:w]
-    u, v = xx / max(w - 1, 1), yy / max(h - 1, 1)
     # per-id sinusoidal interference pattern: distinct ids get distinct
-    # dHash signatures (a plain gradient would hash to all-ones for every id)
-    freqs = rng.uniform(1.0, 6.0, size=(3, 2))
-    phases = rng.uniform(0, 2 * np.pi, size=3)
-    chans = [
-        127.5 + 127.5 * np.sin(2 * np.pi * (freqs[c, 0] * u + freqs[c, 1] * v) + phases[c])
-        for c in range(3)
-    ]
-    base = np.stack(chans, axis=-1)
-    noise = rng.integers(-12, 13, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    # dHash signatures (a plain gradient would hash to all-ones for every id).
+    # float32 + separable row/col ramps keep memory traffic low — the fetch
+    # UDF runs 32-wide and float64 full-image trig saturates the memory bus
+    u = (np.arange(w, dtype=np.float32) / max(w - 1, 1))[None, :]
+    v = (np.arange(h, dtype=np.float32) / max(h - 1, 1))[:, None]
+    freqs = rng.uniform(1.0, 6.0, size=(3, 2)).astype(np.float32)
+    phases = rng.uniform(0, 2 * np.pi, size=3).astype(np.float32)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    noise = rng.integers(-12, 13, size=(h, w, 3), dtype=np.int16).astype(np.float32)
+    two_pi = np.float32(2 * np.pi)
+    for c in range(3):
+        ramp = freqs[c, 0] * u + freqs[c, 1] * v  # broadcasts to (h, w) float32
+        chan = np.float32(127.5) + np.float32(127.5) * np.sin(two_pi * ramp + phases[c])
+        out[:, :, c] = np.clip(chan + noise[:, :, c], 0, 255).astype(np.uint8)
+    return out
 
 
 def content_spec(i: int) -> tuple[int, bool, int, int, str]:

@@ -77,7 +77,7 @@ def crawl_bench(spark, n: int) -> dict:
             WaveCheckpoint(warm),
             frontier_seed_df(spark, 300),
             policy,
-            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts, max_waves=1),
+            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts * 4, max_waves=1),
         )
         shutil.rmtree(warm, ignore_errors=True)
         t0 = time.monotonic()
@@ -87,7 +87,7 @@ def crawl_bench(spark, n: int) -> dict:
             cp,
             seed,
             policy,
-            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts, max_waves=4),
+            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts * 4, max_waves=4),
         )
         wall = time.monotonic() - t0
         archived = sum(s.archived_ok for s in stats)

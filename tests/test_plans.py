@@ -1,0 +1,73 @@
+"""Physical-plan shape assertions — the scale contract, checked in CI:
+
+* parquet scans get predicate pushdown + column pruning (PushedFilters /
+  ReadSchema narrower than the table),
+* the politeness dimension joins as BroadcastHashJoin (J5 — never shuffles
+  the frontier),
+* content dedup of the payload table never exchanges the bytes column,
+* the URL canonicalization chain stays inside WholeStageCodegen (no Python
+  in the hot path).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_archiver_spark.operators.dedup import dedup_content_keep_first
+from auto_archiver_spark.operators.frontier import canonicalize, politeness_admission, seed_filter
+from auto_archiver_spark.sources.fixture import frontier_seed_df, host_policy_df, images_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode="formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_parquet_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_policy_join_is_broadcast(spark):
+    fr = canonicalize(seed_filter(frontier_seed_df(spark, 100)))
+    adm = politeness_admission(fr, host_policy_df(spark))
+    plan = _plan(adm)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # only the host window
+
+
+def test_content_dedup_never_shuffles_bytes(spark):
+    imgs = images_df(spark, 60, partitions=4).withColumn(
+        "sha256", F.sha2(F.col("bytes"), 256)
+    )
+    deduped = dedup_content_keep_first(imgs, key="sha256", id_col="image_id")
+    plan = _plan(deduped)
+    # the only hash exchange is the skinny winners aggregation; the payload
+    # side reaches the join through BroadcastExchange
+    assert "BroadcastExchange" in plan
+    sections = [
+        s for s in plan.split("Exchange hashpartitioning") if "bytes" in s.split("\n")[0]
+    ]
+    assert not sections, "bytes column crossed a hash exchange"
+
+
+def test_canonicalize_is_whole_stage_codegen(spark):
+    fr = canonicalize(seed_filter(frontier_seed_df(spark, 100)))
+    plan = _plan(fr, "simple")
+    assert "*(" in plan  # simple mode marks WholeStageCodegen stages as *(N)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_query_pushdown_end_to_end(spark):
+    from auto_archiver_spark.queries import q_url_canonicalize
+
+    plan = _plan(q_url_canonicalize(spark, SF), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
