@@ -129,8 +129,10 @@ def to_archive_results(fetched: DataFrame, wave: int) -> DataFrame:
     mimetype = F.when(F.col("fmt") == "png", "image/png").otherwise(
         F.when(F.col("fmt").isNotNull(), "image/jpeg")
     )
+    # keyed on status, NOT bytes-isNotNull: referencing `bytes` here would
+    # defeat column pruning for every consumer of the staging table
     media = F.when(
-        F.col("bytes").isNotNull(),
+        F.col("status") == "success",
         F.array(
             F.struct(
                 F.col("image_id").alias("id"),

@@ -22,6 +22,7 @@ re-enter the next wave — the reference analog is its retry/backoff
 from __future__ import annotations
 
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,21 @@ from ..operators.frontier import (
 
 URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
 FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
+
+_BATCH_KEY = "spark.sql.parquet.columnarReaderBatchSize"
+
+
+@contextmanager
+def _reader_batch(spark, rows: int):
+    """Scoped columnar-reader batch size: scans that materialize the image
+    `bytes` column need tiny batches (64 x ~140KB ≈ 9MB per column vector);
+    the session default (128) suits the skinny tables."""
+    old = spark.conf.get(_BATCH_KEY)
+    spark.conf.set(_BATCH_KEY, str(rows))
+    try:
+        yield
+    finally:
+        spark.conf.set(_BATCH_KEY, old)
 
 
 @dataclass
@@ -176,7 +192,10 @@ def run_crawl(
                 images = images.join(F.broadcast(prior), "sha256", "left_anti")
         images = images.drop("_uid")
 
-        snap_ids["images"] = io.commit(images, "images", wave, compression="uncompressed")
+        with _reader_batch(spark, 64):
+            snap_ids["images"] = io.commit(
+                images, "images", wave, compression="uncompressed"
+            )
         mark("images_commit")
         snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
         mark("results_commit")

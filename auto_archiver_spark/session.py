@@ -39,6 +39,10 @@ def get_spark(
         # image payloads are already-compressed PNG: zstd passes them through
         # cheaply where snappy/dictionary paths burn CPU on incompressible data
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # vectorized-reader batches: at the default 4096 rows a ~140KB binary
+        # column allocates ~570MB of OnHeapColumnVector PER TASK — an
+        # allocation storm that serializes under GC as task count grows
+        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()

@@ -55,10 +55,12 @@ def time_query(spark, sf_dir: str, name: str) -> float:
 def crawl_bench(spark, n: int) -> dict:
     """Engine throughput: permissive politeness (huge token buckets, no
     crawl-delay) so the measurement is the pipeline, not the throttle; robots
-    rules stay on. The politeness-constrained path is covered by tests."""
+    rules stay on. The politeness-constrained path is covered by tests.
+    Table roots on tmpfs: the sandbox disk is burst-credit throttled, while
+    real-cluster local storage scales with executors (see tools/scaling_bench)."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    root = tempfile.mkdtemp(prefix="aas_bench_crawl_")
+    root = tempfile.mkdtemp(prefix="aas_bench_crawl_", dir="/dev/shm")
     try:
         io, cp = TableIO(root), WaveCheckpoint(root)
         seed = frontier_seed_df(spark, n).localCheckpoint()
@@ -70,7 +72,7 @@ def crawl_bench(spark, n: int) -> dict:
         # warm-up: python workers, parquet writer JIT, shuffle paths — the
         # one-time constants a long-running cluster job never sees again
         parts = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-        warm = tempfile.mkdtemp(prefix="aas_bench_warm_")
+        warm = tempfile.mkdtemp(prefix="aas_bench_warm_", dir="/dev/shm")
         run_crawl(
             spark,
             TableIO(warm),
