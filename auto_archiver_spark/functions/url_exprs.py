@@ -92,31 +92,48 @@ def url_hash_expr(url_norm: Column) -> Column:
 
 # ---- P1: validity -------------------------------------------------------------
 
-# Native fast-path: non-global IPv4 literals rejectable without python
-# (10/8, 127/8, 0/8, 169.254/16, 172.16/12, 192.168/16, 198.18/15, 224/3 ...).
+# Native fast-path: non-global IPv4 literals, applied ONLY to hosts that have
+# dotted-quad shape (a hostname like ``10.example.com`` must NOT match — the
+# Python kernel treats it as a legal name). Ranges mirror ipaddress semantics
+# as exercised by the kernel (py3.11 is_global/is_private/is_reserved):
+# 0/8, 10/8, 127/8, 100.64/10 (CGNAT), 169.254/16, 172.16/12, 192.0.2/24,
+# 192.168/16, 198.18/15, 198.51.100/24, 203.0.113/24, 240/4+broadcast.
+# NOTE 224/4 multicast and 192.88.99/24 are *accepted*, matching the kernel.
+_DOTTED_QUAD_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
 _PRIVATE_V4_RE = (
-    r"^(0\.|10\.|127\.|169\.254\.|172\.(1[6-9]|2[0-9]|3[01])\.|192\.168\.|192\.0\.0\."
-    r"|192\.0\.2\.|198\.1[89]\.|198\.51\.100\.|203\.0\.113\.|2[23][0-9]\.|2[45][0-9]\.)"
+    r"^(0|10|127|169\.254|192\.0\.2|192\.168|198\.1[89]|198\.51\.100|203\.0\.113"
+    r"|100\.(6[4-9]|[7-9][0-9]|1[01][0-9]|12[0-7])|172\.(1[6-9]|2[0-9]|3[01])"
+    r"|24[0-9]|25[0-5])\."
 )
+# the two special slivers inside 192.0.0/24 the kernel rejects (192.0.0.0/29
+# and 192.0.0.170/31); the rest of 192.0.0/24 is globally routable
+_SPECIAL_V4_RE = r"^192\.0\.0\.([0-7]|17[01])$"
 
 
 def archivable_url_expr(url: Column) -> Column:
     """Native P1 fast-path (utils/url.py:12-45 decision surface).
 
-    Handles scheme / empty-host / localhost / common non-global IPv4 literals
-    entirely JVM-side. The long tail (IPv6 scopes, exotic reserved ranges) is
-    covered by ``url_invalid_reason_udf`` — compose both when exact parity is
-    required; at frontier scale this expression alone filters >99.9% of junk
+    Handles scheme / empty-host / localhost / non-global IPv4 literals
+    entirely JVM-side, with the private-range regexes gated on dotted-quad
+    host shape so legal hostnames with numeric-looking first labels
+    (``10.example.com``) pass. Bracketed IPv6 literal hosts are rejected
+    natively — *more conservative* than the kernel (which admits global IPv6)
+    but SSRF-safe; compose ``url_invalid_reason_udf`` (``canonicalize(...,
+    strict=True)``) when exact kernel parity incl. global-IPv6 admission is
+    required. At frontier scale this expression filters >99.9% of junk
     before any Python is invoked.
     """
     host = F.lower(
         F.regexp_replace(F.regexp_replace(url_netloc(url), r"^.*@", ""), r":\d+$", "")
     )
+    is_quad = host.rlike(_DOTTED_QUAD_RE)
+    bad_ip = is_quad & (host.rlike(_PRIVATE_V4_RE) | host.rlike(_SPECIAL_V4_RE))
     return (
         (url.startswith("http://") | url.startswith("https://"))
         & (host != "")
         & (host != "localhost")
-        & ~host.rlike(_PRIVATE_V4_RE)
+        & ~host.startswith("[")
+        & ~bad_ip
     )
 
 

@@ -1,22 +1,29 @@
 """Partitioned Bloom sidecar for the url_seen table (north-rule structure).
 
 PySpark 4.1 exposes neither ``bloom_filter_agg`` nor ``DataFrame.stat
-.bloomFilter`` to Python, so the sidecar is built *distributed* with numpy
-inside ``applyInPandas``: each url_hash bucket (``pmod(url_hash, N_BUCKETS)``)
-aggregates its own bitmap — no key ever travels to the driver; only the
-finished bitmaps do (N_BUCKETS small binary rows).
+.bloomFilter`` to Python, so the sidecar is custom numpy — but fully
+*distributed* end to end:
 
-Probe side: a ``mapInPandas`` pass checks each candidate against its bucket's
-bitmap (vectorized bit math over the whole Arrow batch). Bloom-*negative*
-candidates are **provably new** and skip the anti-join shuffle entirely; only
-positives (true-seen + FPR) join against the big table.
+* **build**: each url_hash bucket (``pmod(url_hash, N_BUCKETS)``) aggregates
+  its own fixed-size bitmap inside ``applyInPandas`` — no key ever travels to
+  the driver.
+* **persist**: the bitmaps are a normal (bucket-keyed) DataFrame — the wave
+  driver commits them as the ``url_seen_bloom`` table next to the (equally
+  bucketed) ``url_seen`` table and *merges incrementally*: per wave only the
+  newly-seen keys are hashed into delta bitmaps, OR-merged with the prior
+  sidecar (fixed ``m`` per bucket makes OR-merge exact).
+* **probe**: a bucket-aligned **cogroup** — candidates shuffle once on the
+  same bucket key the seen-table is partitioned by, and each task zips its
+  candidate group with exactly ONE bitmap row (~m/8 bytes). The driver never
+  materializes a single bitmap; at 10^10 keys the 15-GB sidecar stays
+  executor-side, one bucket per task.
 
-At 10^10 keys x 12 bits/key the full sidecar is ~15 GB — too big for one
-broadcast, which is why it is bucketed: write the sidecar bucket-partitioned
-next to the (equally bucketed) url_seen table and the probe becomes a
-bucket-aligned zip — each task loads exactly one bitmap (~60 MB). In this
-sandbox the collected dict stands in for that bucket-local read; the math and
-the dataflow are identical.
+Bloom-*negative* candidates are provably NEW and skip the anti-join shuffle
+entirely; only positives (true-seen + FPR) join against the big table.
+
+Bucket ids are computed with Spark ``pmod`` on the signed int64 hash on BOTH
+build and probe sides (round-1 ADVICE: a uint64 ``%`` probe disagrees with
+pmod for negative hashes unless n_buckets is a power of two).
 
 Double hashing (Kirsch-Mitzenmacher): pos_i = (h1 + i*h2) mod m with h1/h2
 carved from the 64-bit xxhash key itself — zero extra hashing cost.
@@ -24,7 +31,6 @@ carved from the 64-bit xxhash key itself — zero extra hashing cost.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -33,7 +39,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_K = 7
-BITS_PER_KEY = 12  # ~0.3% FPR at k=7
+# fixed bits per bucket: sized for the sandbox fixtures; a 10^10-key
+# deployment sets ~12 bits/expected-key (≈60 MB/bucket at 256 buckets)
+DEFAULT_M_BITS = 1 << 17
 
 SIDECAR_SCHEMA = "bucket int, n long, m long, bloom binary"
 
@@ -65,57 +73,91 @@ def _check_bitmap(hashes: np.ndarray, m: int, bitmap: bytes) -> np.ndarray:
 
 
 def build_sidecar(
-    url_seen: DataFrame, n_buckets: int, bits_per_key: int = BITS_PER_KEY
+    keys: DataFrame, n_buckets: int, m_bits: int = DEFAULT_M_BITS, hash_col: str = "url_hash"
 ) -> DataFrame:
-    """One Bloom bitmap per url_hash bucket, built executor-side."""
+    """One fixed-size Bloom bitmap per url_hash bucket, built executor-side.
+    Only buckets that contain keys get a row (delta-friendly)."""
 
-    def build_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        m = max(64, int(len(hashes) * bits_per_key))
+    def build_one(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
         return pd.DataFrame(
-            [{"bucket": int(key[0]), "n": len(hashes), "m": m,
-              "bloom": _build_bitmap(hashes, m)}]
+            [{"bucket": int(key[0]), "n": len(hashes), "m": m_bits,
+              "bloom": _build_bitmap(hashes, m_bits)}]
         )
 
     return (
-        url_seen.select("url_hash")
-        .withColumn("bucket", F.pmod("url_hash", F.lit(n_buckets)))
+        keys.select(hash_col)
+        .withColumn("bucket", F.pmod(hash_col, F.lit(n_buckets)).cast("int"))
         .groupBy("bucket")
         .applyInPandas(build_one, SIDECAR_SCHEMA)
     )
 
 
+def merge_sidecars(prior: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two sidecars (fixed equal ``m`` per bucket ⇒ exact union).
+    Executor-side; each group holds at most 2 bitmap rows."""
+
+    def or_merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["m"].iloc[0])
+        acc = np.zeros((m + 7) // 8, dtype=np.uint8)
+        for b in pdf["bloom"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame(
+            [{"bucket": int(key[0]), "n": int(pdf["n"].sum()), "m": m,
+              "bloom": acc.tobytes()}]
+        )
+
+    return prior.unionByName(delta).groupBy("bucket").applyInPandas(or_merge, SIDECAR_SCHEMA)
+
+
 @dataclass
 class BloomSidecar:
-    """Driver handle: {bucket: (m, bitmap)} — ships into probe tasks by closure."""
+    """Handle over a sidecar *DataFrame* — bitmaps stay distributed; the
+    driver only ever sees the (tiny) handle, never a bitmap."""
 
     n_buckets: int
-    buckets: dict[int, tuple[int, bytes]]
+    sidecar: DataFrame
 
     @classmethod
-    def build(cls, url_seen: DataFrame, n_buckets: int, bits_per_key: int = BITS_PER_KEY):
-        rows = build_sidecar(url_seen, n_buckets, bits_per_key).collect()
-        return cls(n_buckets, {r["bucket"]: (r["m"], bytes(r["bloom"])) for r in rows})
+    def build(cls, url_seen: DataFrame, n_buckets: int, m_bits: int = DEFAULT_M_BITS):
+        return cls(n_buckets, build_sidecar(url_seen, n_buckets, m_bits))
+
+    @classmethod
+    def from_table(cls, sidecar_df: DataFrame, n_buckets: int):
+        """Wrap a persisted ``url_seen_bloom`` snapshot (wave driver path)."""
+        return cls(n_buckets, sidecar_df)
+
+    def is_empty(self) -> bool:
+        return self.sidecar.isEmpty()
 
     def might_contain_col(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:
-        """Adds boolean ``maybe_seen`` — vectorized probe, Arrow-batched."""
-        nb, buckets = self.n_buckets, self.buckets
-        fields = df.schema.fieldNames()
+        """Adds boolean ``maybe_seen`` via a bucket-aligned cogroup zip.
 
-        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                h = pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
-                bucket = (h % np.uint64(nb)).astype(np.int64)
-                out = np.zeros(len(pdf), dtype=bool)
-                for b in np.unique(bucket):
-                    entry = buckets.get(int(b))
-                    if entry is None:
-                        continue
-                    sel = bucket == b
-                    out[sel] = _check_bitmap(h[sel], entry[0], entry[1])
-                res = pdf.copy()
-                res["maybe_seen"] = out
-                yield res
+        One shuffle of the candidates on the bucket key (the same
+        partitioning the url_seen table and its anti-join already use); each
+        task reads exactly one bitmap row. Vectorized bit math over the whole
+        candidate group.
+        """
+        out_fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        schema = ", ".join(f"{n} {t}" for n, t in out_fields) + ", maybe_seen boolean"
+        cols = [n for n, _ in out_fields]
 
-        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-        return df.mapInPandas(probe, schema + ", maybe_seen boolean")
+        def probe(key: tuple, cand: pd.DataFrame, side: pd.DataFrame) -> pd.DataFrame:
+            out = cand[cols].copy()
+            if side.empty:
+                out["maybe_seen"] = False
+                return out
+            m = int(side["m"].iloc[0])
+            bitmap = side["bloom"].iloc[0]
+            h = cand[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+            out["maybe_seen"] = _check_bitmap(h, m, bitmap)
+            return out
+
+        cand = df.withColumn(
+            "_bucket", F.pmod(F.col(hash_col), F.lit(self.n_buckets)).cast("int")
+        )
+        return (
+            cand.groupBy("_bucket")
+            .cogroup(self.sidecar.groupBy("bucket"))
+            .applyInPandas(probe, schema)
+        )

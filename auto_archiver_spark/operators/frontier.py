@@ -50,16 +50,27 @@ def seed_filter(seed: DataFrame, allow_sheets=None, block_sheets=None) -> DataFr
     return out
 
 
-def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize(df: DataFrame, url_col: str = "url", strict: bool = False) -> DataFrame:
     """P1 fast-path validity + north-rule url_norm + url_hash + host columns.
 
     All native Catalyst — stays inside WholeStageCodegen, no Python. Keeps
     the original URL (reference keeps it as ``original_url``,
     orchestrator.py:612-615).
+
+    ``strict=True`` gates on the Arrow-batched ``url_invalid_reason_udf``
+    instead — the exact ``ipaddress`` decision surface of the reference's
+    check_url_or_raise (utils/url.py:12-45), including global-IPv6
+    admission, which the native fast-path conservatively rejects.
     """
     u = F.col(url_col)
+    if strict:
+        from ..functions.url_exprs import url_invalid_reason_udf  # noqa: PLC0415
+
+        base = df.filter(url_invalid_reason_udf(u).isNull())
+    else:
+        base = df.filter(archivable_url_expr(u))
     return (
-        df.filter(archivable_url_expr(u))
+        base
         .withColumn("url_norm", north_norm_expr(u))
         .withColumn("url_hash", url_hash_expr(F.col("url_norm")))
         .withColumn(

@@ -38,6 +38,7 @@ from ..operators.frontier import (
     salted_fetch_repartition,
     seed_filter,
 )
+from ..operators.writeback import init_seed_state, wave_writeback
 
 URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
 FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
@@ -66,6 +67,7 @@ class CrawlConfig:
     use_bloom: bool = True
     bloom_fpp: float = 0.01
     dedup_content: bool = True  # A2: content-addressed image dedup before sink
+    writeback: bool = True  # J3/K4: only-fill-empty MERGE into seed_state
     allow_sheets: tuple = ()
     block_sheets: tuple = ()
 
@@ -105,6 +107,8 @@ def run_crawl(
             *FRONTIER_COLS, "url_norm", "url_hash", "host"
         )
         io.commit(frontier, "frontier", wave=0, mode="overwrite")
+        if config.writeback:
+            io.commit(init_seed_state(seed), "seed_state", wave=0, mode="overwrite")
     else:
         frontier = io.read(spark, "frontier")
 
@@ -129,14 +133,18 @@ def run_crawl(
         mark("dedup")
         seen = io.read_or_empty(spark, "url_seen", URL_SEEN_SCHEMA)
 
+        # Bloom sidecar: read the PERSISTED bucket-partitioned bitmap table
+        # (committed incrementally below) — the driver holds only a handle,
+        # never a bitmap; probe is a bucket-aligned cogroup (bloom.py).
         bloom = None
         if config.use_bloom and io.exists("url_seen"):
             from ..operators.bloom import BloomSidecar  # noqa: PLC0415
             from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
 
-            bloom = BloomSidecar.build(seen, N_BUCKETS)
-            if not bloom.buckets:
-                bloom = None
+            if io.exists("url_seen_bloom"):
+                bloom = BloomSidecar.from_table(io.read(spark, "url_seen_bloom"), N_BUCKETS)
+            else:  # legacy/resumed layout without a sidecar: one full build
+                bloom = BloomSidecar.build(seen, N_BUCKETS)
         mark("bloom_build")
         new_urls = anti_join_seen(cand, seen, bloom)
 
@@ -187,9 +195,19 @@ def run_crawl(
             # A2 global content-addressed dedup — broadcast variants so the
             # heavy bytes column never shuffles (see dedup_content_keep_first)
             images = dedup_content_keep_first(images, key="sha256", id_col="_uid")
-            if io.exists("images"):
-                prior = io.read(spark, "images").select("sha256")
-                images = images.join(F.broadcast(prior), "sha256", "left_anti")
+            # dedup vs ALL prior waves via the skinny `sha_seen` table: only
+            # (sha256, _uid) rows shuffle into the anti-join (at 10^10 scale
+            # sha_seen is bucketed like url_seen so the join prunes to
+            # candidate buckets); the surviving heavy rows are then admitted
+            # by a WAVE-sized broadcast semi-join on _uid. Round 1 broadcast
+            # the full committed corpus hash set — unbounded, OOM at scale.
+            sha_seen = io.read_or_empty(spark, "sha_seen", "sha256 string")
+            fresh = (
+                images.select("sha256", "_uid")
+                .join(sha_seen, "sha256", "left_anti")
+                .select("_uid")
+            )
+            images = images.join(F.broadcast(fresh), "_uid", "left_semi")
         images = images.drop("_uid")
 
         with _reader_batch(spark, 64):
@@ -198,11 +216,37 @@ def run_crawl(
             )
         mark("images_commit")
         snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
+        if config.writeback:
+            # J3/K4: MERGE this wave's results into the seed-state table
+            # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
+            # real deployment, snapshot-rewrite on the TableIO fallback
+            seed_state = io.read(spark, "seed_state")
+            snap_ids["seed_state"] = io.commit(
+                wave_writeback(seed_state, results), "seed_state", wave, mode="overwrite"
+            )
         mark("results_commit")
         newly_seen = admitted.select(
             "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
         )
         snap_ids["url_seen"] = io.commit(newly_seen, "url_seen", wave)
+        if config.dedup_content:
+            # skinny scan (bytes pruned) — the hashes this wave actually kept
+            snap_ids["sha_seen"] = io.commit(images.select("sha256"), "sha_seen", wave)
+        if config.use_bloom:
+            # incremental sidecar: hash ONLY this wave's new keys into delta
+            # bitmaps, OR-merge with the persisted sidecar (fixed m ⇒ exact)
+            from ..operators.bloom import build_sidecar, merge_sidecars  # noqa: PLC0415
+            from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
+
+            delta = build_sidecar(newly_seen, N_BUCKETS)
+            merged = (
+                merge_sidecars(io.read(spark, "url_seen_bloom"), delta)
+                if io.exists("url_seen_bloom")
+                else delta
+            )
+            snap_ids["url_seen_bloom"] = io.commit(
+                merged, "url_seen_bloom", wave, mode="overwrite"
+            )
         next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
         snap_ids["frontier"] = io.commit(next_frontier, "frontier", wave, mode="overwrite")
 

@@ -55,7 +55,7 @@ def q_frontier_admission(spark, sf):
 
 def q_frontier_anti_join(spark, sf):
     """J1/J6: frontier (clicks) anti-joined against the seen set (views),
-    keyed by a bucketed hash surrogate (event_id % 211)."""
+    keyed by a bucketed hash surrogate (event_id % 2003)."""
     ev = load(spark, sf, "events")
     frontier = ev.filter(F.col("event_type") == "click")
     seen = (
@@ -347,9 +347,14 @@ def q_timestamp_format(spark, sf):
 
 
 def q_human_bytes(spark, sf):
-    """F10 human-readable byte formatting (meta_enricher.py:39-44)."""
+    """F10 human-readable byte formatting (meta_enricher.py:39-44).
+
+    Determinism: the intermediate is floor(value*1000) on BOTH engines
+    (Spark's cast truncates toward zero, DuckDB's rounds half-even), and the
+    1-decimal display value is floor on scaled integers (round() ties at
+    b = 256*odd would split HALF_UP vs half-even)."""
     ev = load(spark, sf, "events")
-    b = (F.col("value") * 1000).cast("long")
+    b = F.floor(F.col("value") * 1000).cast("long")
     unit = (
         F.when(b < 1024, "B")
         .when(b < 1024 * 1024, "KB")
@@ -357,8 +362,8 @@ def q_human_bytes(spark, sf):
     )
     val = (
         F.when(b < 1024, b.cast("double"))
-        .when(b < 1024 * 1024, F.round(b / 1024.0, 1))
-        .otherwise(F.round(b / (1024.0 * 1024.0), 1))
+        .when(b < 1024 * 1024, F.floor(b * 10 / 1024) / 10.0)
+        .otherwise(F.floor(b * 10 / (1024 * 1024)) / 10.0)
     )
     return ev.select("event_id", val.alias("hval"), unit.alias("hunit"))
 
@@ -422,7 +427,10 @@ def q_thumbnail_plan(spark, sf):
         F.sequence(F.lit(1), n),
         lambda i: F.floor(i * F.col("value") * 100 / (n + 1)).cast("long"),
     )
-    return ev.select("event_id", n.alias("n_thumbs"), offsets.alias("thumb_ts"))
+    # emitted comma-joined: the driver harness canonicalizes via pandas
+    # sort_values, which cannot hash array cells (round-1 red row)
+    thumb_csv = F.array_join(F.transform(offsets, lambda x: x.cast("string")), ",")
+    return ev.select("event_id", n.alias("n_thumbs"), thumb_csv.alias("thumb_ts_csv"))
 
 
 def q_embedding_neighbors(spark, sf):
@@ -656,8 +664,8 @@ ORACLE = {
                  AS cos
         FROM embeddings e,
              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                 e.vec_id LIMIT 10
+        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                 DESC, e.vec_id LIMIT 10
     """,
     "storage_key": """
         WITH slug AS (SELECT doc_id, source, text,
@@ -674,11 +682,11 @@ ORACLE = {
         FROM events
     """,
     "human_bytes": """
-        WITH b AS (SELECT event_id, CAST(value * 1000 AS BIGINT) AS b FROM events)
+        WITH b AS (SELECT event_id, CAST(floor(value * 1000) AS BIGINT) AS b FROM events)
         SELECT event_id,
           CASE WHEN b < 1024 THEN CAST(b AS DOUBLE)
-               WHEN b < 1048576 THEN round(b / 1024.0, 1)
-               ELSE round(b / 1048576.0, 1) END AS hval,
+               WHEN b < 1048576 THEN floor(b * 10 / 1024) / 10.0
+               ELSE floor(b * 10 / 1048576) / 10.0 END AS hval,
           CASE WHEN b < 1024 THEN 'B' WHEN b < 1048576 THEN 'KB' ELSE 'MB' END AS hunit
         FROM b
     """,
@@ -713,8 +721,8 @@ ORACLE = {
             CAST(least(greatest(CAST(floor(value / 60) AS BIGINT), 1), 4) AS INT) AS n_thumbs
           FROM events)
         SELECT event_id, n_thumbs,
-               [CAST(floor(i * value * 100 / (n_thumbs + 1)) AS BIGINT)
-                for i in generate_series(1, n_thumbs)] AS thumb_ts
+               array_to_string([CAST(floor(i * value * 100 / (n_thumbs + 1)) AS BIGINT)
+                                for i in generate_series(1, n_thumbs)], ',') AS thumb_ts_csv
         FROM n
     """,
     "embedding_neighbors": """

@@ -66,6 +66,63 @@ def test_canonicalize_is_whole_stage_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_prior_dedup_has_no_corpus_broadcast(spark, tmp_path):
+    """The cross-wave content dedup must NOT broadcast the committed corpus:
+    the only BroadcastExchange allowed builds from the wave-sized winner set
+    (round-1 scale-killer: broadcast of every sha256 ever committed)."""
+    from auto_archiver_spark.plans.tableio import TableIO
+
+    io = TableIO(str(tmp_path))
+    imgs = images_df(spark, 40, partitions=2).withColumn(
+        "sha256", F.sha2(F.col("bytes"), 256)
+    ).withColumn("_uid", F.xxhash64("image_id"))
+    # simulate two prior committed waves of seen hashes (the skinny table)
+    io.commit(imgs.limit(10).select("sha256"), "sha_seen", 0)
+    io.commit(imgs.limit(20).select("sha256"), "sha_seen", 1)
+
+    sha_seen = io.read(spark, "sha_seen")
+    deduped = dedup_content_keep_first(imgs, key="sha256", id_col="_uid")
+    fresh = (
+        deduped.select("sha256", "_uid").join(sha_seen, "sha256", "left_anti").select("_uid")
+    )
+    out = deduped.join(F.broadcast(fresh), "_uid", "left_semi")
+    plan = _plan(out)
+    # every BroadcastExchange subtree must be wave-derived (contains the
+    # anti-join), never a bare scan of the committed sha_seen snapshots
+    for section in plan.split("BroadcastExchange")[1:]:
+        head = section.split("\n\n")[0]
+        assert "sha_seen" not in head.split("LeftAnti")[0] or "LeftAnti" in head
+    # and the committed table is only ever the *probe* side of an anti-join
+    assert "LeftAnti" in plan
+    # bytes never cross a hash exchange here either
+    sections = [
+        s for s in plan.split("Exchange hashpartitioning") if "bytes" in s.split("\n")[0]
+    ]
+    assert not sections, "bytes column crossed a hash exchange"
+
+
+def test_bloom_probe_is_bucket_aligned_no_driver_bitmaps(spark):
+    """The sidecar probe plan cogroups on the bucket key (FlatMapCoGroups);
+    nothing in the plan collects bitmaps to the driver, and the only
+    exchanges hash on the bucket id."""
+    from auto_archiver_spark.operators.bloom import BloomSidecar
+    from auto_archiver_spark.operators.frontier import dedup_in_wave
+
+    fr = dedup_in_wave(canonicalize(seed_filter(frontier_seed_df(spark, 120))))
+    seen = fr.limit(30).select("url_hash")
+    sidecar = BloomSidecar.build(seen, n_buckets=16)
+    probed = sidecar.might_contain_col(fr)
+    plan = _plan(probed, "simple")
+    assert "FlatMapCoGroupsInPandas [_bucket" in plan
+    # bucket-aligned: the cogroup exchanges hash on _bucket / bucket only
+    cogroup_exchanges = [
+        s.split("\n")[0] for s in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert any("_bucket" in s or "bucket" in s for s in cogroup_exchanges)
+    # no broadcast of the sidecar, no driver-side collect in the plan
+    assert "BroadcastExchange" not in plan
+
+
 def test_url_query_pushdown_end_to_end(spark):
     from auto_archiver_spark.queries import q_url_canonicalize
 

@@ -57,6 +57,25 @@ VALID_CASES = [
     ("http://192.168.1.1/x", False),
     ("http://127.0.0.1/x", False),
     ("http://169.254.0.1/x", False),
+    # hostnames with private-looking numeric first labels are LEGAL
+    ("http://10.example.com/x", True),
+    ("http://225.example.com/x", True),
+    ("http://999.1.2.3/x", True),  # not a valid IP -> treated as hostname
+    # the kernel's exact ipaddress ranges (ADVICE round 1)
+    ("http://100.64.1.2/x", False),  # CGNAT 100.64/10
+    ("http://100.128.0.1/x", True),  # just past CGNAT
+    ("http://240.1.2.3/x", False),  # 240/4 reserved
+    ("http://203.0.113.5/x", False),  # TEST-NET-3
+    ("http://198.18.0.1/x", False),  # benchmarking /15
+    ("http://224.1.2.3/x", True),  # multicast is is_global under py3.11
+    ("http://192.88.99.1/x", True),  # 6to4 relay — global
+    ("http://192.0.0.5/x", False),  # 192.0.0.0/29 special
+    ("http://192.0.0.9/x", True),  # PCP anycast — global
+    ("http://192.0.0.170/x", False),  # NAT64/DNS64 discovery
+    ("http://8.8.8.8/x", True),
+    ("http://[::1]/x", False),  # loopback IPv6 (kernel + fast path agree)
+    ("http://[fe80::1]/x", False),  # link-local IPv6
+    ("http://user@10.0.0.1:8080/x", False),  # userinfo+port stripped first
 ]
 
 RELEVANT_CASES = [
@@ -202,6 +221,27 @@ def test_spark_expr_parity(spark):
         assert r.best == U.media_best_quality_url(r.url), r.url
         assert r.netloc == U.host_of(r.url), r.url
         assert r.noq == U.remove_query(r.url), r.url
+
+
+def test_ipv6_global_divergence_and_strict_mode(spark):
+    """The one documented fast-path divergence: bracketed *global* IPv6 is
+    rejected natively (SSRF-conservative) while the kernel admits it;
+    canonicalize(strict=True) restores exact kernel parity."""
+    from auto_archiver_spark.operators.frontier import canonicalize
+
+    v6 = "http://[2001:4860::8888]/p/1"
+    assert U.is_archivable_url(v6) is True
+    df = spark.createDataFrame([(v6,)], "url string")
+    assert df.filter(X.archivable_url_expr(F.col("url"))).count() == 0
+
+    corpus = [u for u, _ in VALID_CASES] + [v6, "http://[2001:db8::1]/x"]
+    cdf = spark.createDataFrame(
+        [("ws1", i + 1, u, "", "") for i, u in enumerate(corpus)],
+        "sheet string, row_idx long, url string, status string, folder string",
+    )
+    kept = {r.url for r in canonicalize(cdf, strict=True).select("url").collect()}
+    expected = {u for u in corpus if U.is_archivable_url(u)}
+    assert kept == expected
 
 
 def test_p1_ip_udf_parity(spark):
