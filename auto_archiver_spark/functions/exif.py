@@ -1,0 +1,92 @@
+"""F5 media-metadata extraction — the exif/metadata enricher as a map column.
+
+Reference: modules/metadata_enricher/metadata_enricher.py:23-68 — runs
+``exiftool`` on each file, collects a key->value map, then selects "baskets"
+of interesting keys (author / created / device / location) into top-level
+metadata.
+
+This engine has no exiftool/PIL, but the payload container formats are OUR
+OWN (functions/codec.py PNG/QJPG), so the extraction is REAL: the UDF parses
+the actual binary headers (signature, IHDR geometry, bit depth, chunk
+inventory, payload sizes) — genuine per-byte metadata, not a faked dict.
+Camera-style EXIF tags (Author/DateTimeOriginal/GPS) don't exist in these
+containers; ``exiftool`` substitution slots into ``_extract_one`` unchanged.
+
+Spark side: ``map<string,string>`` column via an Arrow-batched UDF; basket
+selection is a native ``map_filter`` (metadata_enricher.py:33-56's
+key-basket loop) — no shuffle, prunable.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import MapType, StringType
+
+# metadata_enricher.py:36-52 basket shape: label -> key substrings to keep
+BASKETS: dict[str, tuple[str, ...]] = {
+    "geometry": ("width", "height"),
+    "format": ("format", "bit_depth", "color_type"),
+    "size": ("bytes", "data_bytes"),
+}
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_QJPG_MAGIC = b"QJPG"
+
+
+def image_metadata(data: bytes) -> dict[str, str]:
+    """Parse real header metadata out of a PNG/QJPG payload."""
+    meta: dict[str, str] = {"bytes": str(len(data))}
+    body = data
+    if data.startswith(_QJPG_MAGIC):
+        meta["format"] = "qjpg"
+        body = data[len(_QJPG_MAGIC):]
+    elif data.startswith(_PNG_SIG):
+        meta["format"] = "png"
+    else:
+        meta["format"] = "unknown"
+        return meta
+    if not body.startswith(_PNG_SIG):
+        return meta
+    pos, data_bytes, chunks = len(_PNG_SIG), 0, []
+    while pos + 8 <= len(body):
+        (length,) = struct.unpack(">I", body[pos : pos + 4])
+        tag = body[pos + 4 : pos + 8]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[pos + 8 : pos + 18])
+            meta.update(
+                width=str(w), height=str(h), bit_depth=str(depth), color_type=str(ctype)
+            )
+        elif tag == b"IDAT":
+            data_bytes += length
+        chunks.append(tag.decode("latin1"))
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    meta["data_bytes"] = str(data_bytes)
+    meta["chunks"] = ",".join(chunks)
+    return meta
+
+
+@F.pandas_udf(MapType(StringType(), StringType()))
+def image_metadata_udf(data: pd.Series) -> pd.Series:
+    """Arrow-batched F5: payload bytes -> metadata map."""
+    return data.map(lambda b: image_metadata(bytes(b)) if b is not None else {})
+
+
+def basket_expr(meta: Column, basket: str) -> Column:
+    """Native basket selection (metadata_enricher.py:33-56): keep only the
+    keys whose name contains one of the basket's substrings."""
+    subs = BASKETS[basket]
+
+    def key_pred(k):  # OR-chain of contains tests over the key name
+        out = None
+        for s in subs:
+            c = k.contains(s)
+            out = c if out is None else (out | c)
+        return out
+
+    return F.map_filter(meta, lambda k, _v: key_pred(k))

@@ -7,9 +7,10 @@
 * SHA3-512 (F2): not native in Spark -> Arrow-batched pandas UDF (hashlib).
 * dHash-64 perceptual hash (F3 analog): see codec.dhash64; UDF in enrich.py.
 * SimHash-64 & MinHash: engine additions for near-duplicate detection at
-  training-data scale (no reference analog; standard sketches). Both are
-  deterministic md5-derived (stable across executors/runs — a requirement of
-  checkpoint-resume, cf. SURVEY.md §2.8 F12).
+  training-data scale (no reference analog; standard sketches). The reference
+  (md5-derived) kernels are kept for parity tests; the production path is the
+  batch-vectorized siphash one below — deterministic across executors/runs
+  for a pinned pandas (checkpoint-resume requirement, SURVEY.md §2.8 F12).
 """
 
 from __future__ import annotations
@@ -101,6 +102,99 @@ def minhash_udf(n: int = 3, k: int = _MINHASH_K):
         return texts.map(lambda t: minhash_signature(shingles(t.split(), n), k))
 
     return _udf
+
+
+# ---- vectorized sketch path -------------------------------------------------------
+#
+# The round-1 hot spot was per-token Python md5 inside the UDF (the #2 bench
+# query). The fast path hashes EVERY shingle of the whole Arrow batch in one
+# C call (``pd.util.hash_array`` — siphash with a fixed key, deterministic
+# across processes for a pinned pandas) and reduces per-doc signatures with a
+# single ``np.minimum.reduceat`` — no per-token and no per-doc Python in the
+# hot loop. Band bucket keys are combined in numpy too, so the JVM never
+# builds band strings.
+
+_BAND_P = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 constant for band mixing
+
+
+def _batch_minhash(texts: pd.Series, n: int, k: int) -> np.ndarray:
+    """(len(texts), k) uint64 MinHash signatures for a whole Arrow batch."""
+    docs = [shingles(t.split() if t else [], n) for t in texts]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    sigs = np.zeros((len(docs), k), dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return sigs
+    flat = np.concatenate([np.asarray(d, dtype=object) for d in docs if d])
+    h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        table = h[:, None] * _MH_A[:k] + _MH_B[:k]  # (S, k), wraps mod 2^64
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        starts = offsets[:-1][lens > 0]
+        sigs[lens > 0] = np.minimum.reduceat(table, starts, axis=0)
+    return sigs
+
+
+def minhash_from_hashes_udf(k: int = _MINHASH_K):
+    """MinHash over pre-hashed (int64) shingle arrays: sig_i = min(a_i*h + b_i)."""
+    A, B = _MH_A[:k], _MH_B[:k]
+
+    @F.pandas_udf("array<long>")
+    def _udf(hash_arrays: pd.Series) -> pd.Series:
+        zero = [0] * k
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in hash_arrays:
+                hs = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                if hs.size == 0:
+                    out.append(zero)
+                    continue
+                sig = (hs[:, None] * A + B).min(axis=0).astype(np.int64)
+                out.append(sig.tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
+def minhash_band_keys_udf(n: int = 3, bands: int = 16, rows_per_band: int = 4):
+    """text -> array<long> of ``bands`` LSH bucket keys, fully vectorized:
+    batch-wide shingle hashing + reduceat signature + splitmix band mixing."""
+    k = bands * rows_per_band
+
+    @F.pandas_udf("array<long>")
+    def _udf(texts: pd.Series) -> pd.Series:
+        sigs = _batch_minhash(texts, n, k)  # (N, k) uint64
+        with np.errstate(over="ignore"):
+            acc = np.zeros((sigs.shape[0], bands), dtype=np.uint64)
+            for r in range(rows_per_band):
+                acc = acc * _BAND_P + sigs[:, r::rows_per_band][:, :bands]
+        keys = acc.view(np.int64)  # bit-reinterpret, not value cast
+        return pd.Series(list(keys))
+
+    return _udf
+
+
+@F.pandas_udf(LongType())
+def simhash_text_udf(texts: pd.Series) -> pd.Series:
+    """SimHash-64 straight from text, batch-vectorized: one hash_array call
+    for every token in the Arrow batch, per-doc bit votes via add.reduceat."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    docs = [t.strip().lower().split() if t else [] for t in texts]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    out = np.zeros(len(docs), dtype=np.int64)
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate([np.asarray(d, dtype=object) for d in docs if d])
+        h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+        signs = (((h[:, None] >> bit_idx) & np.uint64(1)).astype(np.int8) * 2 - 1)
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        starts = offsets[:-1][lens > 0]
+        votes = np.add.reduceat(signs.astype(np.int64), starts, axis=0)
+        vals = ((votes > 0).astype(np.uint64) << bit_idx).sum(axis=1)
+        out[lens > 0] = vals.view(np.int64)  # bit-reinterpret to signed
+    return pd.Series(out)
 
 
 def jaccard(a: set, b: set) -> float:

@@ -49,24 +49,39 @@ class TableIO:
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table)["snapshots"])
 
-    def live_dirs(self, table: str, upto_snapshot: int | None = None) -> list[str]:
-        """Data dirs visible at (or before) a snapshot: everything appended
-        since the last overwrite."""
+    def _live_snapshots(self, table: str, upto_snapshot: int | None = None) -> list[dict]:
+        """Snapshot entries visible at (or before) a snapshot: everything
+        appended since the last overwrite."""
         snaps = self._load_manifest(table)["snapshots"]
         if upto_snapshot is not None:
             snaps = [s for s in snaps if s["id"] <= upto_snapshot]
-        dirs: list[str] = []
+        live: list[dict] = []
         for s in snaps:
             if s["mode"] == "overwrite":
-                dirs = []
-            dirs.append(os.path.join(self._tdir(table), s["dir"]))
-        return dirs
+                live = []
+            live.append(s)
+        return live
+
+    def live_dirs(self, table: str, upto_snapshot: int | None = None) -> list[str]:
+        return [
+            os.path.join(self._tdir(table), s["dir"])
+            for s in self._live_snapshots(table, upto_snapshot)
+            if "dir" in s
+        ]
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        dirs = self.live_dirs(table)
-        if not dirs:
+        snaps = self._live_snapshots(table)
+        if not snaps:
             raise FileNotFoundError(f"table {table} has no committed snapshots")
-        return spark.read.parquet(*dirs)
+        if all("ref" not in s for s in snaps):  # fast path: one multi-dir scan
+            return spark.read.parquet(
+                *[os.path.join(self._tdir(table), s["dir"]) for s in snaps]
+            )
+        out = None
+        for s in snaps:
+            df = self._snapshot_df(spark, table, s)
+            out = df if out is None else out.unionByName(df)
+        return out
 
     def read_or_empty(self, spark: SparkSession, table: str, schema: str) -> DataFrame:
         if self.exists(table):
@@ -97,6 +112,73 @@ class TableIO:
         self._store_manifest(table, manifest)
         return next_id
 
+    def commit_ref(
+        self,
+        table: str,
+        src_table: str,
+        src_snapshot_id: int,
+        wave: int,
+        select: list[str] | None = None,
+        where: str | None = None,
+        anti_keys: "DataFrame | None" = None,
+        anti_key_col: str = "_uid",
+        mode: str = "append",
+    ) -> int:
+        """Zero-copy snapshot: reference another table's committed data files
+        with a projection (``select`` exprs), a row ``where`` filter, and an
+        optional delete-key set (``anti_keys`` — written as a small parquet
+        sidecar; applied as a read-time anti-join).
+
+        This is Iceberg merge-on-read in miniature: a MERGE/DELETE commit
+        writes *metadata + position deletes*, never rewrites the data files.
+        Here it lets the wave driver publish the ``images`` table straight
+        from the staged fetch output — the heavy ``bytes`` column hits
+        parquet exactly once per wave. Readers pay a filter + a (tiny)
+        anti-join; a real deployment compacts in background maintenance.
+        """
+        src_manifest = self._load_manifest(src_table)
+        src = next(s for s in src_manifest["snapshots"] if s["id"] == src_snapshot_id)
+        manifest = self._load_manifest(table)
+        next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
+        entry = {
+            "id": next_id,
+            "wave": wave,
+            "mode": mode,
+            "ref": {"table": src_table, "dir": src["dir"]},
+        }
+        if select:
+            entry["select"] = list(select)
+        if where:
+            entry["where"] = where
+        if anti_keys is not None:
+            rel = f"snap-{next_id:05d}-deletes"
+            anti_keys.write.mode("overwrite").parquet(os.path.join(self._tdir(table), rel))
+            entry["anti"] = {"dir": rel, "key": anti_key_col}
+        manifest["snapshots"].append(entry)
+        self._store_manifest(table, manifest)
+        return next_id
+
+    def _snapshot_df(self, spark: SparkSession, table: str, snap: dict) -> DataFrame:
+        """DataFrame for one snapshot entry (plain dir or zero-copy ref)."""
+        if "ref" in snap:
+            base = spark.read.parquet(
+                os.path.join(self._tdir(snap["ref"]["table"]), snap["ref"]["dir"])
+            )
+            if snap.get("where"):
+                base = base.filter(snap["where"])
+            if snap.get("anti"):
+                from pyspark.sql import functions as F  # noqa: PLC0415
+
+                key = snap["anti"]["key"]
+                deletes = spark.read.parquet(
+                    os.path.join(self._tdir(table), snap["anti"]["dir"])
+                )
+                base = base.join(F.broadcast(deletes), key, "left_anti")
+            if snap.get("select"):
+                base = base.selectExpr(*snap["select"])
+            return base
+        return spark.read.parquet(os.path.join(self._tdir(table), snap["dir"]))
+
     def rollback_to(self, table: str, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (manifest truncation;
         orphan data dirs are deleted lazily)."""
@@ -105,7 +187,12 @@ class TableIO:
         drop = [s for s in manifest["snapshots"] if s["id"] > snapshot_id]
         self._store_manifest(table, {"snapshots": keep})
         for s in drop:
-            shutil.rmtree(os.path.join(self._tdir(table), s["dir"]), ignore_errors=True)
+            if "dir" in s:
+                shutil.rmtree(os.path.join(self._tdir(table), s["dir"]), ignore_errors=True)
+            if "anti" in s:
+                shutil.rmtree(
+                    os.path.join(self._tdir(table), s["anti"]["dir"]), ignore_errors=True
+                )
 
 
 @dataclass

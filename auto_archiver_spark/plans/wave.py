@@ -9,8 +9,10 @@ One wave = one declarative DataFrame plan (SURVEY.md §3 "Spark lifecycle"):
                                    pre-prune skips the join for provable-new)
       -> politeness admission     (shuffle 2: host window)
       -> salted repartition       (shuffle 3: host x salt — kills Zipf skew)
-      -> fetch+enrich mapInPandas (Arrow batches)
-      -> commits: images append, archive_results append, url_seen append,
+      -> fetch+enrich mapInPandas (Arrow batches) -> staged ONCE (fetch_out)
+      -> commits: images (zero-copy ref into fetch_out + dedup delete keys —
+         merge-on-read, bytes written once), archive_results append, url_seen
+         append, sha_seen/bloom-sidecar deltas, seed_state writeback,
          per-wave metrics row (incl. per-partition lineage)
 
 State between waves lives in TableIO snapshots; the checkpoint commits the
@@ -22,13 +24,11 @@ re-enter the next wave — the reference analog is its retry/backoff
 from __future__ import annotations
 
 import time
-from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import dedup_content_keep_first
 from ..operators.fetch import fetch_archive, to_archive_results
 from ..operators.frontier import (
     anti_join_seen,
@@ -42,22 +42,6 @@ from ..operators.writeback import init_seed_state, wave_writeback
 
 URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
 FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
-
-_BATCH_KEY = "spark.sql.parquet.columnarReaderBatchSize"
-
-
-@contextmanager
-def _reader_batch(spark, rows: int):
-    """Scoped columnar-reader batch size: scans that materialize the image
-    `bytes` column need tiny batches (64 x ~140KB ≈ 9MB per column vector);
-    the session default (128) suits the skinny tables."""
-    old = spark.conf.get(_BATCH_KEY)
-    spark.conf.set(_BATCH_KEY, str(rows))
-    try:
-        yield
-    finally:
-        spark.conf.set(_BATCH_KEY, old)
-
 
 @dataclass
 class CrawlConfig:
@@ -176,44 +160,44 @@ def run_crawl(
         mark("fetch_udf")
         results = to_archive_results(fetched, wave)
 
-        images = fetched.filter(F.col("status") == "success").select(
-            "image_id",
-            "bytes",
-            "w",
-            "h",
-            "fmt",
-            "caption",
-            "phash",
-            F.col("hash").alias("sha256"),
-            F.col("thumb"),
-            F.lit(wave).alias("wave"),
-            # url_hash is the unique per-row key this wave (frontier deduped);
-            # image_id is NOT unique — two URLs can serve the same payload
-            F.col("url_hash").alias("_uid"),
-        )
+        # The images snapshot is a ZERO-COPY REF into the staged fetch_out
+        # files (Iceberg merge-on-read shape): heavy bytes hit parquet exactly
+        # once per wave; the commit writes only metadata + a delete-key
+        # sidecar. Dedup is decided entirely on a skinny (url_hash, sha256)
+        # projection: per-wave winner per content hash (A1), then anti-join
+        # against the skinny cross-wave `sha_seen` table (A2 — round 1
+        # broadcast the full committed hash set, unbounded at scale). At
+        # 10^10 rows sha_seen is bucketed like url_seen so the anti-join
+        # prunes to candidate buckets.
+        kept_shas = None
+        drops = None
         if config.dedup_content:
-            # A2 global content-addressed dedup — broadcast variants so the
-            # heavy bytes column never shuffles (see dedup_content_keep_first)
-            images = dedup_content_keep_first(images, key="sha256", id_col="_uid")
-            # dedup vs ALL prior waves via the skinny `sha_seen` table: only
-            # (sha256, _uid) rows shuffle into the anti-join (at 10^10 scale
-            # sha_seen is bucketed like url_seen so the join prunes to
-            # candidate buckets); the surviving heavy rows are then admitted
-            # by a WAVE-sized broadcast semi-join on _uid. Round 1 broadcast
-            # the full committed corpus hash set — unbounded, OOM at scale.
+            keys = fetched.filter(F.col("status") == "success").select(
+                # url_hash is the unique per-row key this wave (frontier
+                # deduped); image_id is NOT unique — two URLs, same payload
+                F.col("url_hash").alias("_uid"),
+                F.col("hash").alias("sha256"),
+            )
             sha_seen = io.read_or_empty(spark, "sha_seen", "sha256 string")
-            fresh = (
-                images.select("sha256", "_uid")
-                .join(sha_seen, "sha256", "left_anti")
-                .select("_uid")
+            winners = keys.groupBy("sha256").agg(F.min("_uid").alias("_uid"))
+            fresh = winners.join(sha_seen, "sha256", "left_anti").localCheckpoint()
+            drops = keys.join(fresh.select("_uid"), "_uid", "left_anti").select(
+                F.col("_uid").alias("url_hash")
             )
-            images = images.join(F.broadcast(fresh), "_uid", "left_semi")
-        images = images.drop("_uid")
-
-        with _reader_batch(spark, 64):
-            snap_ids["images"] = io.commit(
-                images, "images", wave, compression="uncompressed"
-            )
+            kept_shas = fresh.select("sha256")
+        snap_ids["images"] = io.commit_ref(
+            "images",
+            "fetch_out",
+            snap_ids["fetch_out"],
+            wave,
+            select=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "hash AS sha256", "thumb", f"CAST({wave} AS INT) AS wave",
+            ],
+            where="status = 'success'",
+            anti_keys=drops,
+            anti_key_col="url_hash",
+        )
         mark("images_commit")
         snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
         if config.writeback:
@@ -230,8 +214,8 @@ def run_crawl(
         )
         snap_ids["url_seen"] = io.commit(newly_seen, "url_seen", wave)
         if config.dedup_content:
-            # skinny scan (bytes pruned) — the hashes this wave actually kept
-            snap_ids["sha_seen"] = io.commit(images.select("sha256"), "sha_seen", wave)
+            # the content hashes this wave actually kept (skinny, checkpointed)
+            snap_ids["sha_seen"] = io.commit(kept_shas, "sha_seen", wave)
         if config.use_bloom:
             # incremental sidecar: hash ONLY this wave's new keys into delta
             # bitmaps, OR-merge with the persisted sidecar (fixed m ⇒ exact)

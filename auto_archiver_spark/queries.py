@@ -138,6 +138,21 @@ def q_url_relevance(spark, sf):
     return urls.filter(X.is_relevant_media_url_expr(F.col("url"))).select("event_id", "url")
 
 
+def q_auth_wall(spark, sf):
+    """P5 is_auth_wall (utils/url.py:63-71): telegram private channels and
+    instagram demand auth — flagged, not fetched."""
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://t.me/c/chan/"), eid))
+        .when(k == 1, F.concat(F.lit("https://t.me/public/"), eid))
+        .when(k == 2, F.concat(F.lit("https://www.instagram.com/p/"), eid))
+        .otherwise(F.concat(F.lit("https://example.com/p/"), eid))
+    )
+    return ev.select("event_id", X.is_auth_wall_expr(url).alias("auth_wall"))
+
+
 def q_url_best_quality(spark, sf):
     """P8+P9: twitter name=orig rewrite and basename -WxH strip."""
     ev = load(spark, sf, "events")
@@ -272,9 +287,18 @@ def q_fingerprint(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
-    """Exact word-3-gram Jaccard between consecutive docs (near-dup verify stage)."""
+    """Exact word-3-gram Jaccard between consecutive docs (near-dup verify
+    stage). Shingles are hashed to portable 60-bit ints (md5-prefix — the one
+    hash both engines share) before the self-join: the exchange carries int64
+    arrays instead of strings (~3-5x fewer bytes at 100 TB)."""
     d = load(spark, sf, "documents").select(
-        "doc_id", F.array_distinct(word_ngrams_expr(F.col("text"), 3)).alias("sh")
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                word_ngrams_expr(F.col("text"), 3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("sh"),
     )
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
@@ -447,6 +471,245 @@ def q_embedding_neighbors(spark, sf):
     )
 
 
+# --- perceptual-hash near-dup + ANN gate entries -----------------------------------
+
+
+def _synth_phash(d: DataFrame) -> DataFrame:
+    """60-bit deterministic 'phash' with planted near-dup structure: docs in
+    the same 5-group share a base hash and differ by one flipped low bit, so
+    in-group hamming <= 2 while cross-group pairs are random (~30 bits)."""
+    g = F.floor(F.col("doc_id") / F.lit(5)).cast("long")
+    base = F.conv(
+        F.substring(F.md5(F.concat(F.lit("g"), g.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    bit = F.element_at(
+        F.array(*[F.lit(1 << i).cast("long") for i in range(5)]),
+        (F.pmod("doc_id", F.lit(5)) + 1).cast("int"),
+    )
+    v = base.bitwiseXOR(bit)
+    return d.select(F.col("doc_id").alias("image_id"), v.alias("phash"))
+
+
+def q_phash_pairs(spark, sf):
+    """Perceptual-hash near-dup pairs (F3/A2 image analog): 4x16-bit block
+    buckets (pigeonhole: hamming<=3 shares a block) -> equi-join candidates
+    -> exact hamming verify. Never a cartesian product."""
+    from .operators.dedup import phash_near_dup_pairs  # noqa: PLC0415
+
+    imgs = _synth_phash(load(spark, sf, "documents"))
+    pairs = phash_near_dup_pairs(imgs, max_hamming=3)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("phash_a").bitwiseXOR(F.col("phash_b"))).cast("long").alias("hamming"),
+    )
+
+
+def q_ivf_topk(spark, sf):
+    """IVF-style ANN (scale path of cosine_topk): seeded centroids, bucket
+    assignment, nprobe-bucket scan. Approximate by construction -> rows-only
+    driver check; recall vs the exact baseline asserted in pytest
+    (tests/test_similarity.py)."""
+    from .operators.similarity import assign_buckets, ivf_topk, train_centroids  # noqa: PLC0415
+
+    emb = load(spark, sf, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
+    cents = train_centroids(emb, n_centroids=16)
+    bucketed = assign_buckets(emb, cents)
+    return ivf_topk(bucketed, cents, qvec, k=10, nprobe=4)
+
+
+# --- round-2 operators: writeback, routing, deletion, metadata scalars -------------
+
+
+def q_writeback_merge(spark, sf):
+    """J3/K4 only-fill-empty MERGE (gsheet_feeder_db.py:132-198): archive
+    results land in the seed table; status overwrites, title fills blanks."""
+    from .operators.writeback import writeback_merge  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    seed = ev.select(
+        "event_id",
+        F.when(F.pmod(eid, F.lit(7)) == 0, F.lit("already archived"))
+        .otherwise(F.lit(""))
+        .alias("status"),
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.concat(F.lit("kept "), eid.cast("string")))
+        .otherwise(F.lit(""))
+        .alias("title"),
+    )
+    res = ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.lit("archived").alias("status"),
+        F.concat(F.lit("title "), F.col("user_id").cast("string")).alias("title"),
+    )
+    return writeback_merge(
+        seed, res, key_cols=["event_id"], fill_cols=["title"], overwrite_cols=["status"]
+    )
+
+
+def q_extractor_routing(spark, sf):
+    """P4 suitable/match_link routing (core/extractor.py:43-62) + X3
+    first-success merge (orchestrator.py:632-640): attempt 1 = routed
+    extractor, attempt 2 = generic fallback; first success wins, else the
+    last attempt's status survives."""
+    from .operators.merge import first_success  # noqa: PLC0415
+    from .operators.routing import route_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://x.com/media/"), eid))
+        .when(k == 1, F.concat(F.lit("https://media.site/gallery/"), eid))
+        .when(k == 2, F.concat(F.lit("https://t.me/chan/"), eid))
+        .otherwise(F.concat(F.lit("https://blog.example.org/p/"), eid))
+    )
+    routed = ev.select("event_id", url.alias("url")).withColumn(
+        "route", route_expr(F.col("url"))
+    )
+    a1 = routed.select(
+        F.col("event_id").alias("url_hash"),
+        F.lit(1).alias("attempt"),
+        F.col("route").alias("extractor"),
+        F.when(F.pmod("event_id", F.lit(5)) == 0, "nothing archived")
+        .otherwise("success")
+        .alias("status"),
+    )
+    a2 = routed.filter(F.col("route") != "generic").select(
+        F.col("event_id").alias("url_hash"),
+        F.lit(2).alias("attempt"),
+        F.lit("generic").alias("extractor"),
+        F.when(F.pmod("event_id", F.lit(3)) == 0, "success")
+        .otherwise("nothing archived")
+        .alias("status"),
+    )
+    merged = first_success(a1.unionByName(a2), "attempt")
+    return merged.select(F.col("url_hash").alias("event_id"), "extractor", "status")
+
+
+_DEL_DOMAINS = [
+    "twitter.com", "www.facebook.com", "instagram.com", "tiktok.com",
+    "youtube.com", "reddit.com", "vk.com", "t.me", "news.example.org",
+]
+
+
+def q_deletion_detect(spark, sf):
+    """P13 deletion detection (utils/deletion_detection.py:19-273):
+    platform-keyed phrase tables over synthesized html/title/error columns;
+    sources checked html -> title -> error."""
+    from .operators.deletion import detect_deletion_cols  # noqa: PLC0415
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    dom = F.element_at(
+        F.array(*[F.lit(x) for x in _DEL_DOMAINS]), (F.pmod(did, F.lit(9)) + 1).cast("int")
+    )
+    url = F.concat(F.lit("https://"), dom, F.lit("/post/"), did.cast("string"))
+    base = F.concat(F.lit("content body "), did.cast("string"))
+    k = F.pmod(did, F.lit(5))
+    html = (
+        F.when(k == 0, F.concat(base, F.lit(" ... it has been removed by an admin")))
+        .when(k == 3, F.concat(base, F.lit(" This Tweet has been deleted")))
+        .otherwise(base)
+    )
+    title = F.when(k == 1, F.lit("Oops - Page Not Found")).otherwise(
+        F.concat(F.lit("Post "), did.cast("string"))
+    )
+    err = F.when(k == 2, F.lit("HTTP 403: Access Denied")).otherwise(
+        F.lit(None).cast("string")
+    )
+    return d.select("doc_id", *detect_deletion_cols(url, html, title, err))
+
+
+def q_is_empty(spark, sf):
+    """A10 Metadata.is_empty (core/metadata.py:98-102): no success, no media,
+    no metadata keys beyond the bookkeeping set."""
+    from .functions.metadata_exprs import is_empty_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    k = F.pmod("event_id", F.lit(4))
+    status = (
+        F.when(k == 0, "success")
+        .when(k == 1, "")
+        .when(k == 2, "nothing archived")
+        .otherwise("telegram: success")
+    )
+    media = F.array_repeat(F.lit("m"), F.pmod("event_id", F.lit(3)).cast("int"))
+    entries = F.array_compact(
+        F.array(
+            F.when(
+                F.pmod("event_id", F.lit(5)) == 0,
+                F.struct(F.lit("title").alias("k"), F.lit("t").alias("v")),
+            ),
+            F.when(
+                F.pmod("event_id", F.lit(7)) == 0,
+                F.struct(F.lit("comments").alias("k"), F.lit("c").alias("v")),
+            ),
+            F.struct(F.lit("url").alias("k"), F.lit("u").alias("v")),
+            F.struct(F.lit("_processed_at").alias("k"), F.lit("p").alias("v")),
+            F.struct(F.lit("total_bytes").alias("k"), F.lit("9").alias("v")),
+        )
+    )
+    meta = F.map_from_entries(entries)
+    return ev.select("event_id", is_empty_expr(status, media, meta).alias("is_empty"))
+
+
+def q_keys_to_clean(spark, sf):
+    """P15 keys_to_clean projection (generic_extractor.py:224-295): drop the
+    noisy yt-dlp keys; emit the sorted survivors as CSV."""
+    from .functions.metadata_exprs import kept_keys_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    present = F.array_compact(
+        F.array(
+            *[
+                F.when(F.pmod(eid, F.lit(m)) == 0, F.lit(key))
+                for key, m in _P15_UNIVERSE
+            ]
+        )
+    )
+    return ev.select(
+        "event_id", F.array_join(kept_keys_expr(present), ",").alias("kept_csv")
+    )
+
+
+# (key, modulus) — mixes droppable yt-dlp keys with keepable ones
+_P15_UNIVERSE = [
+    ("title", 2), ("formats", 2), ("description", 3), ("thumbnail", 3),
+    ("uploader", 4), ("http_headers", 4), ("upload_date", 5), ("ext", 5),
+    ("view_count", 6), ("epoch", 6), ("channel", 7), ("duration_string", 7),
+]
+
+
+def q_json_dump(spark, sf):
+    """F14 JSON dump of a result row (json_enricher.py:10-17): compact JSON,
+    key order = column order; both engines emit {\"k\":v,...}."""
+    from .functions.metadata_exprs import json_dump_expr  # noqa: PLC0415
+
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        json_dump_expr(
+            F.col("doc_id").alias("id"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n"),
+        ).alias("row_json"),
+    )
+
+
+def q_archive_duration(spark, sf):
+    """F19 archive_duration_seconds (meta_enricher.py:46-50): whole seconds
+    between consecutive per-user events (start/end of processing analog)."""
+    from .functions.metadata_exprs import archive_duration_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    dur = archive_duration_expr(F.lag("ts").over(w), F.col("ts"))
+    return ev.select("event_id", F.coalesce(dur, F.lit(-1)).alias("duration_s"))
+
+
 QUERIES = {
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -454,6 +717,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "url_host": q_url_host,
     "url_relevance": q_url_relevance,
+    "auth_wall": q_auth_wall,
     "url_best_quality": q_url_best_quality,
     "dedup_first_per_key": q_dedup_first_per_key,
     "most_complete": q_most_complete,
@@ -480,6 +744,15 @@ QUERIES = {
     "embedding_neighbors": q_embedding_neighbors,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
+    "phash_pairs": q_phash_pairs,
+    "ivf_topk": q_ivf_topk,
+    "writeback_merge": q_writeback_merge,
+    "extractor_routing": q_extractor_routing,
+    "deletion_detect": q_deletion_detect,
+    "is_empty": q_is_empty,
+    "keys_to_clean": q_keys_to_clean,
+    "json_dump": q_json_dump,
+    "archive_duration": q_archive_duration,
 }
 
 _TRACKERS_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','fbclid','gclid')"
@@ -544,6 +817,19 @@ ORACLE = {
         WHERE NOT (ends_with(stripped, '.svg') OR ends_with(stripped, '.ico')
                 OR ends_with(stripped, '.m3u8') OR ends_with(stripped, '.mpd')
                 OR ends_with(stripped, '.ism') OR contains(stripped, 'favicon'))
+    """,
+    "auth_wall": """
+        WITH u AS (SELECT event_id,
+            CASE event_id % 4
+              WHEN 0 THEN 'https://t.me/c/chan/' || event_id
+              WHEN 1 THEN 'https://t.me/public/' || event_id
+              WHEN 2 THEN 'https://www.instagram.com/p/' || event_id
+              ELSE 'https://example.com/p/' || event_id END AS url
+          FROM events)
+        SELECT event_id,
+               regexp_matches(url, '^https?://t\\.me/c/.+/\\d+')
+               OR regexp_matches(url, '^https?://(www\\.)?instagram\\.com') AS auth_wall
+        FROM u
     """,
     "url_best_quality": """
         SELECT event_id,
@@ -647,9 +933,10 @@ ORACLE = {
     """,
     "ngram_jaccard": """
         WITH sh AS (SELECT doc_id, list_distinct(
-            CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                 ELSE [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
-            END) AS sh
+            [('0x' || substr(md5(s), 1, 15))::BIGINT for s in
+             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
+             END]) AS sh
           FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
@@ -735,4 +1022,165 @@ ORACLE = {
     # minhash_lsh / simhash_buckets: md5-derived 64-bit sketch arithmetic is not
     # expressible in portable SQL -> rows-only driver check; exact-value pytest
     # coverage lives in tests/test_sketches.py.
+    # ivf_topk: approximate by construction -> rows-only (recall in pytest)
+    "phash_pairs": """
+        WITH h AS (SELECT doc_id AS id,
+            xor((('0x' || substr(md5('g' || (doc_id // 5)), 1, 15))::BIGINT),
+                (1::BIGINT << (doc_id % 5)::INT)) AS phash
+          FROM documents),
+        b AS (SELECT id, phash, t.i AS block, (phash >> (16 * t.i)) & 65535 AS val
+              FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t),
+        p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+                     a.phash AS pa, b2.phash AS pb
+              FROM b a JOIN b b2 ON a.block = b2.block AND a.val = b2.val
+                                AND a.id < b2.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+        FROM p WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+    "writeback_merge": """
+        WITH seed AS (SELECT event_id,
+            CASE WHEN event_id % 7 = 0 THEN 'already archived' ELSE '' END AS status,
+            CASE WHEN event_id % 3 = 0 THEN 'kept ' || event_id ELSE '' END AS title
+          FROM events),
+        res AS (SELECT event_id, 'archived' AS status, 'title ' || user_id AS title
+                FROM events WHERE event_type = 'click')
+        SELECT s.event_id,
+               coalesce(r.status, s.status) AS status,
+               CASE WHEN trim(s.title) = '' AND r.title IS NOT NULL
+                    THEN r.title ELSE s.title END AS title
+        FROM seed s LEFT JOIN res r USING (event_id)
+    """,
+    "extractor_routing": """
+        WITH routed AS (SELECT event_id,
+            CASE event_id % 4 WHEN 0 THEN 'twitter' WHEN 1 THEN 'gallery'
+                              WHEN 2 THEN 'telegram' ELSE 'generic' END AS route
+          FROM events),
+        attempts AS (
+          SELECT event_id, 1 AS attempt, route AS extractor,
+                 CASE WHEN event_id % 5 = 0 THEN 'nothing archived'
+                      ELSE 'success' END AS status
+          FROM routed
+          UNION ALL
+          SELECT event_id, 2, 'generic',
+                 CASE WHEN event_id % 3 = 0 THEN 'success' ELSE 'nothing archived' END
+          FROM routed WHERE route != 'generic'),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY
+              (CASE WHEN status LIKE '%success%' THEN 1 ELSE 0 END) DESC,
+              (CASE WHEN status LIKE '%success%' THEN -attempt ELSE attempt END) DESC)
+            AS rn FROM attempts)
+        SELECT event_id, extractor, status FROM ranked WHERE rn = 1
+    """,
+    # deletion_detect SQL is generated below from the same phrase tables the
+    # Spark operator uses (single source of truth)
+    "is_empty": """
+        WITH m AS (SELECT event_id,
+            CASE event_id % 4 WHEN 0 THEN 'success' WHEN 1 THEN ''
+                 WHEN 2 THEN 'nothing archived' ELSE 'telegram: success' END AS status,
+            event_id % 3 AS media_n,
+            list_filter(['url', '_processed_at', 'total_bytes',
+                         CASE WHEN event_id % 5 = 0 THEN 'title' END,
+                         CASE WHEN event_id % 7 = 0 THEN 'comments' END],
+                        k -> k IS NOT NULL) AS keys
+          FROM events)
+        SELECT event_id,
+               (NOT contains(status, 'success')) AND media_n = 0 AND
+               len(list_filter(keys, k -> k NOT IN
+                   ('_processed_at','url','original_url','total_bytes',
+                    'total_size','archive_duration_seconds'))) = 0 AS is_empty
+        FROM m
+    """,
+    "json_dump": """
+        SELECT doc_id,
+               to_json(struct_pack(id := doc_id, source := source, n := n_chars))::VARCHAR
+                 AS row_json
+        FROM documents
+    """,
+    "archive_duration": """
+        SELECT event_id,
+               coalesce(CAST(floor(epoch(ts)) AS BIGINT) -
+                        CAST(floor(epoch(lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT),
+                        -1) AS duration_s
+        FROM events
+    """,
 }
+
+
+def _sql_q(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_list(items) -> str:
+    return "[" + ", ".join(_sql_q(x) for x in items) + "]"
+
+
+def _deletion_oracle() -> str:
+    """Generate the P13 oracle from the SAME phrase tables the Spark operator
+    uses — any drift between engines is then a logic bug, not a data one."""
+    from .operators.deletion import GENERIC, INDICATORS  # noqa: PLC0415
+
+    plat_case = (
+        "CASE doc_id % 9 "
+        + " ".join(
+            f"WHEN {i} THEN '{p}'"
+            for i, p in enumerate(
+                ["twitter", "facebook", "instagram", "tiktok", "youtube",
+                 "reddit", "vk", "telegram"]
+            )
+        )
+        + " ELSE 'unknown' END"
+    )
+    phrase_case = (
+        "CASE platform "
+        + " ".join(
+            f"WHEN {_sql_q(p)} THEN {_sql_list(INDICATORS[p] + GENERIC)}"
+            for p in INDICATORS
+        )
+        + f" ELSE {_sql_list(GENERIC)} END"
+    )
+    return f"""
+        WITH rows_in AS (SELECT doc_id, {plat_case} AS platform,
+            'content body ' || doc_id AS base FROM documents),
+        synth AS (SELECT doc_id, platform,
+            CASE WHEN doc_id % 5 = 0 THEN base || ' ... it has been removed by an admin'
+                 WHEN doc_id % 5 = 3 THEN base || ' This Tweet has been deleted'
+                 ELSE base END AS html,
+            CASE WHEN doc_id % 5 = 1 THEN 'Oops - Page Not Found'
+                 ELSE 'Post ' || doc_id END AS title,
+            CASE WHEN doc_id % 5 = 2 THEN 'HTTP 403: Access Denied' END AS err
+          FROM rows_in),
+        hits AS (SELECT doc_id, platform,
+            list_filter({phrase_case},
+                p -> contains(lower(coalesce(html, '')), lower(p)))[1] AS h,
+            list_filter({phrase_case},
+                p -> contains(lower(coalesce(title, '')), lower(p)))[1] AS t,
+            list_filter({phrase_case},
+                p -> contains(lower(coalesce(err, '')), lower(p)))[1] AS e
+          FROM synth)
+        SELECT doc_id, platform,
+               coalesce(h, t, e) IS NOT NULL AS is_deleted,
+               coalesce(h, t, e) AS indicator,
+               CASE WHEN h IS NOT NULL THEN 'html_content'
+                    WHEN t IS NOT NULL THEN 'page_title'
+                    WHEN e IS NOT NULL THEN 'error_message' END AS source
+        FROM hits
+    """
+
+
+def _keys_to_clean_oracle() -> str:
+    from .functions.metadata_exprs import KEYS_TO_CLEAN  # noqa: PLC0415
+
+    elems = ", ".join(
+        f"CASE WHEN event_id % {m} = 0 THEN {_sql_q(k)} END" for k, m in _P15_UNIVERSE
+    )
+    return f"""
+        SELECT event_id,
+               coalesce(array_to_string(list_sort(list_filter([{elems}],
+                   k -> k IS NOT NULL AND NOT list_contains({_sql_list(KEYS_TO_CLEAN)}, k))),
+                 ','), '') AS kept_csv
+        FROM events
+    """
+
+
+ORACLE["deletion_detect"] = _deletion_oracle()
+ORACLE["keys_to_clean"] = _keys_to_clean_oracle()

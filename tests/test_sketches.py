@@ -59,6 +59,23 @@ def test_simhash_identical_docs_share_all_blocks(docs):
     assert {r.block for r in rows} == {0, 1, 2, 3}
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """A boilerplate clique (300 identical docs) must NOT expand
+    quadratically: oversized buckets emit O(m) star pairs that still connect
+    every member to the min-id representative."""
+    txt = "identical boilerplate text repeated across the corpus every day"
+    rows = [(i, txt) for i in range(300)] + [(1000, "something else entirely here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, bucket_cap=64).collect()
+    # all-pairs would be 300*299/2 = 44850; star is 299
+    assert len(pairs) == 299
+    assert all(r.id_a == 0 for r in pairs)  # rep = min id
+    assert {r.id_b for r in pairs} == set(range(1, 300))  # connectivity kept
+    # small buckets still get exact all-pairs
+    small = spark.createDataFrame([(i, txt) for i in range(5)], "doc_id long, text string")
+    assert len(minhash_lsh_candidates(small, bucket_cap=64).collect()) == 10
+
+
 def test_phash_near_dup_pairs_on_fixture(spark):
     imgs = images_df(spark, 130, partitions=4).localCheckpoint()
     pairs = phash_near_dup_pairs(imgs, max_hamming=3).collect()
