@@ -18,6 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_keep_order(items: list) -> list:
+    """A11 (orchestrator.py:168): config-list dedup preserving first-seen
+    order — ``list(dict.fromkeys(...))``. Driver-side (module configs are
+    driver state, never a DataFrame)."""
+    return list(dict.fromkeys(items))
+
+
 def merge_extractor_results(df: DataFrame, order_col: str = "attempt") -> DataFrame:
     """A4: merge multiple per-extractor results for the same url_hash.
 

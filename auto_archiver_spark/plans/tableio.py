@@ -95,18 +95,23 @@ class TableIO:
         wave: int,
         mode: str = "append",
         compression: str | None = None,
+        options: dict[str, str] | None = None,
     ) -> int:
         """Write df as a new snapshot of ``table``; returns the snapshot id.
 
         ``compression`` overrides the session parquet codec — payload tables
         carrying already-compressed image bytes should pass "uncompressed"
-        (zstd/snappy burn 4-8x CPU on incompressible data for ~0% gain)."""
+        (zstd/snappy burn 4-8x CPU on incompressible data for ~0% gain).
+        ``options`` are extra per-write parquet options (e.g. a small
+        ``parquet.block.size`` for wide-binary tables — see plans/wave.py)."""
         manifest = self._load_manifest(table)
         next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
         rel = f"snap-{next_id:05d}"
         writer = df.write.mode("overwrite")
         if compression:
             writer = writer.option("compression", compression)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
         writer.parquet(os.path.join(self._tdir(table), rel))
         manifest["snapshots"].append({"id": next_id, "dir": rel, "wave": wave, "mode": mode})
         self._store_manifest(table, manifest)

@@ -52,6 +52,7 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     dedup_content: bool = True  # A2: content-addressed image dedup before sink
     writeback: bool = True  # J3/K4: only-fill-empty MERGE into seed_state
+    strict_urls: bool = False  # P1 via exact ipaddress UDF (reference parity)
     allow_sheets: tuple = ()
     block_sheets: tuple = ()
 
@@ -87,7 +88,7 @@ def run_crawl(
 
     if start_wave == 0:
         base = seed_filter(seed, config.allow_sheets or None, config.block_sheets or None)
-        frontier = canonicalize(base).select(
+        frontier = canonicalize(base, strict=config.strict_urls).select(
             *FRONTIER_COLS, "url_norm", "url_hash", "host"
         )
         io.commit(frontier, "frontier", wave=0, mode="overwrite")
@@ -153,8 +154,19 @@ def run_crawl(
                                      config.fetch_partitions)
         )
         snap_ids = {}
+        # small row groups for the wide-binary staging table: the default
+        # 128 MB parquet block buffers ~900 payload rows PER WRITER TASK
+        # before flushing — at 32 concurrent writers that is a multi-GB
+        # on-heap churn storm (measured 3-7x slowdown of the whole fetch
+        # stage); 8 MB keeps each writer's buffer ~50 rows while page-level
+        # stats/pruning are untouched
         snap_ids["fetch_out"] = io.commit(
-            fetch_plan, "fetch_out", wave, mode="overwrite", compression="uncompressed"
+            fetch_plan,
+            "fetch_out",
+            wave,
+            mode="overwrite",
+            compression="uncompressed",
+            options={"parquet.block.size": str(8 << 20)},
         )
         fetched = io.read(spark, "fetch_out")
         mark("fetch_udf")

@@ -268,6 +268,16 @@ def q_token_count(spark, sf):
     )
 
 
+def q_bpe_token_count(spark, sf):
+    """Sub-word-ish token accounting (training-data tier): letter-runs,
+    digit-runs and punctuation marks as separate tokens — the cheap BPE
+    stand-in, fully native regex on both engines."""
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id", T.bpe_ish_token_count_expr(F.col("text")).alias("n_bpe")
+    )
+
+
 def q_lang_guess(spark, sf):
     d = load(spark, sf, "documents")
     return d.select("doc_id", T.lang_guess_expr(F.col("text")).alias("lang_guess"))
@@ -299,7 +309,7 @@ def q_ngram_jaccard(spark, sf):
                 lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
             )
         ).alias("sh"),
-    )
+    ).localCheckpoint()  # materialize shingles ONCE; both join sides reuse
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
     j = a.join(b, "id_a")
@@ -468,6 +478,81 @@ def q_embedding_neighbors(spark, sf):
     cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 5)
     return j.select(
         "id_a", (F.col("id_a") + 1).alias("id_b"), cos.alias("cos"), (cos >= 0.8).alias("near_dup")
+    )
+
+
+def q_livestream_skip(spark, sf):
+    """P14 livestream skip (generic_extractor.py:476-480): drop rows that are
+    live unless livestream archiving is enabled for the row's config."""
+    ev = load(spark, sf, "events")
+    is_live = F.pmod("event_id", F.lit(6)) == 0
+    allow_live = F.pmod("user_id", F.lit(2)) == 0  # per-config flag analog
+    return (
+        ev.withColumn("is_live", is_live)
+        .filter(~(is_live & ~allow_live))
+        .select("event_id", "user_id", "is_live")
+    )
+
+
+def q_content_append(spark, sf):
+    """F16 content append (metadata.py:119-122): ordered newline-joined
+    accumulation of text fragments per result."""
+    ev = load(spark, sf, "events")
+    pieces = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    content = F.array_join(F.transform(pieces, lambda s: s["event_type"]), "\n")
+    return ev.groupBy("user_id").agg(content.alias("content"))
+
+
+def q_html_render(spark, sf):
+    """F15 HTML formatter (html_formatter.py:35-55): deterministic render
+    with entity escaping + the document's tagged SHA-256 (the value K4
+    writes into the sheet's hash cell)."""
+    from .functions.html import html_hash_expr, html_render_expr  # noqa: PLC0415
+
+    d = load(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    title = F.substring(F.col("text"), 1, 24)
+    url = F.concat(F.lit("https://docs.example/"), did)
+    media = F.array_compact(
+        F.array(
+            F.concat(F.lit("img-"), F.col("source")),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0, F.concat(F.lit("vid-"), did)),
+        )
+    )
+    html = html_render_expr(url, title, media)
+    return d.select("doc_id", html.alias("html"), html_hash_expr(html).alias("html_hash"))
+
+
+def q_atlos_feed(spark, sf):
+    """S4 Atlos feeder predicate (atlos_feeder_db_storage.py:45-61) over
+    synthesized source-material rows: unprocessed + visible + not
+    mid-pipeline + non-empty url."""
+    from .sources.feeders import atlos_row_predicate  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    df = ev.select(
+        F.col("event_id").alias("id"),
+        F.when(F.pmod("event_id", F.lit(5)) == 0, "")
+        .otherwise(F.concat(F.lit("https://atlos.example/m/"), eid))
+        .alias("source_url"),
+        F.when(F.pmod("event_id", F.lit(3)) == 0, "invisible")
+        .otherwise("visible")
+        .alias("visibility"),
+        F.element_at(
+            F.array(F.lit("ready"), F.lit("processing"), F.lit("pending"), F.lit("complete")),
+            (F.pmod("event_id", F.lit(4)) + 1).cast("int"),
+        ).alias("status"),
+        F.struct(
+            F.struct((F.pmod("event_id", F.lit(7)) == 0).alias("processed")).alias(
+                "auto_archiver"
+            )
+        ).alias("metadata"),
+    )
+    return df.filter(atlos_row_predicate()).select(
+        F.col("id").alias("event_id"), "source_url"
     )
 
 
@@ -727,6 +812,7 @@ QUERIES = {
     "media_totals": q_media_totals,
     "dedup_exact_text": q_dedup_exact_text,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "lang_guess": q_lang_guess,
     "quality_score": q_quality_score,
     "fingerprint": q_fingerprint,
@@ -744,6 +830,10 @@ QUERIES = {
     "embedding_neighbors": q_embedding_neighbors,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
+    "livestream_skip": q_livestream_skip,
+    "content_append": q_content_append,
+    "html_render": q_html_render,
+    "atlos_feed": q_atlos_feed,
     "phash_pairs": q_phash_pairs,
     "ivf_topk": q_ivf_topk,
     "writeback_merge": q_writeback_merge,
@@ -892,6 +982,14 @@ ORACLE = {
                length(text) AS n_chars_obs
         FROM documents
     """,
+    "bpe_token_count": """
+        WITH r AS (SELECT doc_id,
+            regexp_replace(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', '#', 'g') AS runs
+          FROM documents)
+        SELECT doc_id,
+               length(runs) - length(regexp_replace(runs, '#', '', 'g')) AS n_bpe
+        FROM r
+    """,
     "lang_guess": """
         WITH h AS (SELECT doc_id,
             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
@@ -1022,6 +1120,48 @@ ORACLE = {
     # minhash_lsh / simhash_buckets: md5-derived 64-bit sketch arithmetic is not
     # expressible in portable SQL -> rows-only driver check; exact-value pytest
     # coverage lives in tests/test_sketches.py.
+    "livestream_skip": """
+        SELECT event_id, user_id, event_id % 6 = 0 AS is_live
+        FROM events
+        WHERE NOT (event_id % 6 = 0 AND NOT user_id % 2 = 0)
+    """,
+    "content_append": """
+        SELECT user_id,
+               string_agg(event_type, chr(10) ORDER BY ts, event_id) AS content
+        FROM events GROUP BY user_id
+    """,
+    "html_render": """
+        WITH t AS (SELECT doc_id,
+            replace(replace(replace(substr(text, 1, 24),
+                '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS et,
+            'https://docs.example/' || doc_id AS eu,
+            list_filter(['img-' || source,
+                         CASE WHEN doc_id % 3 = 0 THEN 'vid-' || doc_id END],
+                        x -> x IS NOT NULL) AS media
+          FROM documents),
+        h AS (SELECT doc_id,
+            '<!DOCTYPE html><html><head><title>' || et || '</title></head><body><h1><a href="'
+            || eu || '">' || et || '</a></h1><ul>'
+            || coalesce(array_to_string(
+                 ['<li>' || replace(replace(replace(m, '&', '&amp;'), '<', '&lt;'),
+                                    '>', '&gt;') || '</li>' for m in media], ''), '')
+            || '</ul></body></html>' AS html
+          FROM t)
+        SELECT doc_id, html, 'SHA-256:' || sha256(html) AS html_hash FROM h
+    """,
+    "atlos_feed": """
+        WITH m AS (SELECT event_id,
+            CASE WHEN event_id % 5 = 0 THEN ''
+                 ELSE 'https://atlos.example/m/' || event_id END AS source_url,
+            CASE WHEN event_id % 3 = 0 THEN 'invisible' ELSE 'visible' END AS visibility,
+            (['ready', 'processing', 'pending', 'complete'])[(event_id % 4)::INT + 1]
+              AS status,
+            event_id % 7 = 0 AS processed
+          FROM events)
+        SELECT event_id, source_url FROM m
+        WHERE source_url != '' AND NOT processed AND visibility = 'visible'
+          AND status NOT IN ('processing', 'pending')
+    """,
     # ivf_topk: approximate by construction -> rows-only (recall in pytest)
     "phash_pairs": """
         WITH h AS (SELECT doc_id AS id,

@@ -1,4 +1,4 @@
-"""Feeder sources (SURVEY.md §2.1 S1-S3): DataFrame constructors for the three
+"""Feeder sources (SURVEY.md §2.1 S1-S4): DataFrame constructors for the
 seed shapes the reference supports.
 
 * S1 CLI feeder (modules/cli_feeder/cli_feeder.py:14-18): explicit URL list.
@@ -6,6 +6,9 @@ seed shapes the reference supports.
   column picked by name or positional index, invalid URLs dropped.
 * S3 sheet feeder (modules/gsheet_feeder_db/gsheet_feeder_db.py:53-100): the
   frontier_seed table + seed_filter/canonicalize in operators/frontier.py.
+* S4 Atlos feeder (modules/atlos_feeder_db_storage/atlos_feeder_db_storage
+  .py:45-61): cursor-paginated REST scan of source material -> in batch, a
+  JSON-lines table scan with the same row predicate (pagination vanishes).
 """
 
 from __future__ import annotations
@@ -50,3 +53,33 @@ def csv_feeder(
         .withColumn("folder", F.lit(""))
     )
     return out.select("sheet", "row_idx", "url", "status", "folder")
+
+
+def atlos_row_predicate() -> "F.Column":
+    """S4 admission predicate (atlos_feeder_db_storage.py:53-59):
+    non-empty source_url AND not already processed AND visible AND not
+    mid-pipeline. Pure pushdown-able boolean algebra."""
+    return (
+        F.col("source_url").isNotNull()
+        & (F.col("source_url") != "")
+        & ~F.coalesce(F.col("metadata.auto_archiver.processed"), F.lit(False))
+        & (F.col("visibility") == "visible")
+        & ~F.col("status").isin("processing", "pending")
+    )
+
+
+def atlos_feeder(spark: SparkSession, path: str) -> DataFrame:
+    """S4: scan an Atlos source-material dump (JSON lines, one object per
+    material — the batch twin of the paginated /api/v2/source_material scan)
+    and yield frontier rows keyed by atlos_id."""
+    raw = spark.read.json(path)
+    return (
+        raw.filter(atlos_row_predicate())
+        .select(
+            F.lit("atlos").alias("sheet"),
+            F.col("id").cast("long").alias("row_idx"),
+            F.col("source_url").alias("url"),
+            F.lit("").alias("status"),
+            F.lit("").alias("folder"),
+        )
+    )

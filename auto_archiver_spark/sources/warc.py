@@ -1,0 +1,200 @@
+"""S5 — WARC/WACZ media demux as a Spark source.
+
+Reference: modules/wacz_extractor_enricher/wacz_extractor_enricher.py:176-266.
+Semantics preserved exactly:
+
+* only ``response`` records yield media; ``resource`` records with
+  ``image/png`` content type are screenshots (:207-214);
+* the target URI must pass the P6 relevance filter (:221-224);
+* per-archive ``seen_urls`` dedup — FIRST record per URL in file order wins
+  (A3, :225-227, :263);
+* the HTTP Content-Type must contain video/image/audio (:230-234);
+* the twitter best-quality rewrite is recorded next to the original URL
+  (:241-252 — the actual re-download is network-bound and out of scope).
+
+Spark design: ``spark.read.format("binaryFile")`` lists + reads the archives
+(one row per file — Spark parallelizes ACROSS archives, the natural unit for
+crawl dumps where one WACZ ≈ one page capture), then an Arrow-batched
+``mapInPandas`` demuxes records. Parsing is a from-scratch WARC/1.0 reader
+(plain + gzip members) in pure Python — the payload never round-trips
+through the driver. For 100 TB of WARC the scan unit stays one archive per
+task; oversized archives are handled upstream by the capture tool's own
+rotation (browsertrix rotates ~1 GB), not by splitting records mid-file.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.urls import is_relevant_media_url, twitter_best_quality_url
+
+WARC_MEDIA_SCHEMA = (
+    "archive string, record_url string, best_url string, content_type string, "
+    "payload binary, is_screenshot boolean"
+)
+
+_MEDIA_MARKERS = ("video", "image", "audio")  # wacz_extractor_enricher.py:233
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (browsertrix writes one member
+    per record; the reference byte-concatenates the chunks, :189-196)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Iterate records of a WARC/1.0 byte stream: yields dicts with
+    ``headers`` (WARC header map, lowercase keys) and ``payload``."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end].decode("latin1")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            return
+        headers = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        payload = data[head_end + 4 : head_end + 4 + length]
+        yield {"headers": headers, "payload": payload}
+        pos = head_end + 4 + length
+
+
+def _split_http(payload: bytes) -> tuple[dict, bytes]:
+    """Split an HTTP response payload into (lowercase header map, body)."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end < 0:
+        return {}, payload
+    headers = {}
+    for line in payload[:head_end].decode("latin1").split("\r\n")[1:]:
+        if ":" in line:
+            k, v = line.split(":", 1)
+            headers[k.strip().lower()] = v.strip()
+    return headers, payload[head_end + 4 :]
+
+
+def extract_media_records(data: bytes, extract_screenshots: bool = True) -> list[dict]:
+    """The reference's record loop (:203-263) over one archive's bytes."""
+    out: list[dict] = []
+    seen_urls: set[str] = set()  # A3: per-archive, first wins
+    n_shot = 0
+    for rec in parse_warc(data):
+        h = rec["headers"]
+        rtype = h.get("warc-type")
+        if (
+            rtype == "resource"
+            and h.get("content-type", "").startswith("image/png")
+            and extract_screenshots
+        ):
+            out.append(
+                {
+                    "record_url": h.get("warc-target-uri", f"screenshot-{n_shot}"),
+                    "best_url": h.get("warc-target-uri", f"screenshot-{n_shot}"),
+                    "content_type": "image/png",
+                    "payload": rec["payload"],
+                    "is_screenshot": True,
+                }
+            )
+            n_shot += 1
+            continue
+        if rtype != "response":
+            continue
+        url = h.get("warc-target-uri")
+        if not url or not is_relevant_media_url(url):
+            continue
+        if url in seen_urls:
+            continue
+        http_headers, body = _split_http(rec["payload"])
+        ctype = http_headers.get("content-type")
+        if not ctype or not any(m in ctype for m in _MEDIA_MARKERS):
+            continue
+        out.append(
+            {
+                "record_url": url,
+                "best_url": twitter_best_quality_url(url),
+                "content_type": ctype,
+                "payload": body,
+                "is_screenshot": False,
+            }
+        )
+        seen_urls.add(url)
+    return out
+
+
+def scan_warc_media(
+    spark: SparkSession, path: str, extract_screenshots: bool = True
+) -> DataFrame:
+    """S5 source: WARC archives under ``path`` -> one row per relevant media
+    record. binaryFile scan parallelizes across archives; the demux is
+    Arrow-batched and never touches the driver."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "archive", "record_url", "best_url", "content_type", "payload",
+            "is_screenshot",
+        ]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for m in extract_media_records(bytes(r.content), extract_screenshots):
+                    rows.append({"archive": r.path, **m})
+            yield (
+                pd.DataFrame.from_records(rows, columns=cols)
+                if rows
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return files.mapInPandas(demux, WARC_MEDIA_SCHEMA)
+
+
+# ---- writer (fixtures/tests) ------------------------------------------------------
+
+
+def build_warc_record(
+    rtype: str, url: str, payload: bytes, content_type: str | None = None
+) -> bytes:
+    """One spec-shaped WARC/1.0 record (enough for any conformant reader)."""
+    headers = [
+        ("WARC-Type", rtype),
+        ("WARC-Target-URI", url),
+        ("Content-Length", str(len(payload))),
+    ]
+    if content_type:
+        headers.append(("Content-Type", content_type))
+    head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
+    return head.encode("latin1") + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def build_http_response(body: bytes, content_type: str) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + content_type.encode("latin1")
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )

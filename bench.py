@@ -43,13 +43,23 @@ HEADLINE = [
     "minhash_lsh",
 ]
 
-CRAWL_SEED_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEED_N", "3000"))
+# large enough that the ~15 fixed per-wave bookkeeping jobs (commits, bloom
+# merge, writeback, metrics) amortize over the per-URL work, as they would in
+# a production-sized wave
+CRAWL_SEED_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEED_N", "12000"))
 
 
-def time_query(spark, sf_dir: str, name: str) -> float:
-    t0 = time.monotonic()
-    Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.monotonic() - t0
+def time_query(spark, sf_dir: str, name: str, reps: int = 2) -> float:
+    """Best-of-``reps``: the host CPU oscillates 3-5x on a minutes timescale
+    (BENCH.md 'Host variance'), so a single-shot number measures the host
+    mode, not the engine; best-of-2 halves the odds of recording a
+    throttled window."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    return best
 
 
 def crawl_bench(spark, n: int) -> dict:
@@ -62,7 +72,6 @@ def crawl_bench(spark, n: int) -> dict:
 
     root = tempfile.mkdtemp(prefix="aas_bench_crawl_", dir="/dev/shm")
     try:
-        io, cp = TableIO(root), WaveCheckpoint(root)
         seed = frontier_seed_df(spark, n).localCheckpoint()
         policy = (
             host_policy_df(spark)
@@ -82,27 +91,34 @@ def crawl_bench(spark, n: int) -> dict:
             CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts * 4, max_waves=1),
         )
         shutil.rmtree(warm, ignore_errors=True)
-        t0 = time.monotonic()
-        stats = run_crawl(
-            spark,
-            io,
-            cp,
-            seed,
-            policy,
-            CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts * 4, max_waves=4),
-        )
-        wall = time.monotonic() - t0
-        archived = sum(s.archived_ok for s in stats)
-        frontier_rows = sum(s.candidates for s in stats)
-        anti_sec = sum(s.seconds for s in stats)
-        return {
-            "crawl_wall_sec": round(wall, 3),
-            "crawl_urls_archived": archived,
-            "crawl_urls_per_sec": round(archived / wall, 2),
-            "frontier_rows_per_sec": round(frontier_rows / max(anti_sec, 1e-9), 2),
-            "crawl_waves": len(stats),
-            "crawl_stage_sec": stats[0].extra if stats else {},
-        }
+        best = None
+        for _ in range(2):  # best-of-2 (see time_query: host mode oscillation)
+            root_i = tempfile.mkdtemp(prefix="aas_bench_crawl_i_", dir="/dev/shm")
+            t0 = time.monotonic()
+            stats = run_crawl(
+                spark,
+                TableIO(root_i),
+                WaveCheckpoint(root_i),
+                seed,
+                policy,
+                CrawlConfig(wave_seconds=3600.0, fetch_partitions=parts * 4, max_waves=4),
+            )
+            wall = time.monotonic() - t0
+            shutil.rmtree(root_i, ignore_errors=True)
+            archived = sum(s.archived_ok for s in stats)
+            frontier_rows = sum(s.candidates for s in stats)
+            anti_sec = sum(s.seconds for s in stats)
+            cur = {
+                "crawl_wall_sec": round(wall, 3),
+                "crawl_urls_archived": archived,
+                "crawl_urls_per_sec": round(archived / wall, 2),
+                "frontier_rows_per_sec": round(frontier_rows / max(anti_sec, 1e-9), 2),
+                "crawl_waves": len(stats),
+                "crawl_stage_sec": stats[0].extra if stats else {},
+            }
+            if best is None or cur["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
+                best = cur
+        return best
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

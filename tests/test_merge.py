@@ -74,3 +74,30 @@ def test_csv_feeder(spark, tmp_path):
     assert urls == {"https://a.com/1", "https://b.com/2"}
     df2 = csv_feeder(spark, str(p), url_column=0)
     assert {r.url for r in df2.collect()} == urls
+
+
+def test_atlos_feeder(spark, tmp_path):
+    """S4 predicate: unprocessed + visible + not mid-pipeline + non-empty url
+    (atlos_feeder_db_storage.py:53-59)."""
+    import json
+
+    from auto_archiver_spark.sources.feeders import atlos_feeder
+
+    rows = [
+        {"id": 1, "source_url": "https://a.com/1", "visibility": "visible",
+         "status": "ready", "metadata": {"auto_archiver": {"processed": False}}},
+        {"id": 2, "source_url": "", "visibility": "visible", "status": "ready",
+         "metadata": {"auto_archiver": {"processed": False}}},
+        {"id": 3, "source_url": "https://a.com/3", "visibility": "invisible",
+         "status": "ready", "metadata": {"auto_archiver": {"processed": False}}},
+        {"id": 4, "source_url": "https://a.com/4", "visibility": "visible",
+         "status": "processing", "metadata": {"auto_archiver": {"processed": False}}},
+        {"id": 5, "source_url": "https://a.com/5", "visibility": "visible",
+         "status": "complete", "metadata": {"auto_archiver": {"processed": True}}},
+        {"id": 6, "source_url": "https://a.com/6", "visibility": "visible",
+         "status": "complete", "metadata": {}},  # missing processed -> admitted
+    ]
+    p = tmp_path / "materials.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    out = {r.row_idx: r.url for r in atlos_feeder(spark, str(p)).collect()}
+    assert out == {1: "https://a.com/1", 6: "https://a.com/6"}

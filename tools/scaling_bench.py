@@ -18,7 +18,9 @@ a real cluster local storage scales WITH the executor count — a shared
 throttled disk would measure the sandbox, not the engine. tmpfs (916 MB/s
 measured) is the faithful per-executor-storage stand-in.
 
-Usage: python tools/scaling_bench.py [seed_n]   (default 20000)
+Usage: python tools/scaling_bench.py [seed_n] [pairs] [lo] [hi] [wave|fetch]
+(defaults 12000 2 8 32 wave). "fetch" measures only the salted fetch/enrich
+stage into a noop sink — per-URL work without per-wave fixed bookkeeping.
 Writes JSON to stdout; BENCH/BASELINE.md records the results.
 """
 
@@ -30,6 +32,46 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# mode="fetch": ONLY the salted-repartition + fetch/enrich UDF stage into a
+# noop sink — the pipeline's dominant per-URL work, without the ~15 per-wave
+# bookkeeping jobs/commits that a toy-sized wave over-weights ~1000x relative
+# to a production wave (fixed cost per wave, not per URL).
+CHILD_FETCH = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from auto_archiver_spark.session import get_spark
+from auto_archiver_spark.operators.fetch import fetch_archive
+from auto_archiver_spark.operators.frontier import (
+    canonicalize, dedup_in_wave, salted_fetch_repartition, seed_filter)
+from auto_archiver_spark.sources.fixture import frontier_seed_df
+
+cores = {cores}
+spark = get_spark(app="aas-scalefetch-%d" % cores, cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+fr = dedup_in_wave(canonicalize(seed_filter(
+    frontier_seed_df(spark, {seed_n})))).localCheckpoint()
+plan = fetch_archive(salted_fetch_repartition(fr, cores * 4)).select(
+    "url_hash", "total_bytes", "status")
+n = fr.count()
+
+def busy_cpu_sec():
+    with open("/proc/stat") as f:
+        p = f.readline().split()
+    vals = [int(x) for x in p[1:11]]
+    return (sum(vals) - vals[3] - vals[4]) / os.sysconf("SC_CLK_TCK")
+
+plan.write.format("noop").mode("overwrite").save()  # warm
+cpu0, t0 = busy_cpu_sec(), time.monotonic()
+plan.write.format("noop").mode("overwrite").save()
+wall = time.monotonic() - t0
+cpu = busy_cpu_sec() - cpu0
+print("RESULT " + json.dumps({{"cores": cores, "wall_sec": round(wall, 3),
+      "archived": n, "urls_per_sec": round(n / wall, 2),
+      "cpu_sec": round(cpu, 2), "cpu_ms_per_url": round(1000.0 * cpu / max(n, 1), 2),
+      "stage_sec": {{}}}}))
+spark.stop()
+"""
 
 CHILD = r"""
 import json, os, shutil, sys, tempfile, time
@@ -80,12 +122,13 @@ spark.stop()
 """
 
 
-def run_at(cores: int, seed_n: int) -> dict:
+def run_at(cores: int, seed_n: int, mode: str = "wave") -> dict:
     """taskset pins the child to exactly ``cores`` CPUs: without it a
     local[8] job still gives its GC threads, parquet writers and python
     workers all 32 cores, inflating the small-cluster baseline and making
     true scaling unmeasurable."""
-    code = CHILD.format(repo=REPO, cores=cores, seed_n=seed_n)
+    tmpl = CHILD_FETCH if mode == "fetch" else CHILD
+    code = tmpl.format(repo=REPO, cores=cores, seed_n=seed_n)
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -105,11 +148,13 @@ def main():
     by a mode flip)."""
     seed_n = int(sys.argv[1]) if len(sys.argv) > 1 else 12000
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    lo, hi = 8, 32
+    lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    mode = sys.argv[5] if len(sys.argv) > 5 else "wave"
     runs = []
     for _ in range(pairs):
-        r_lo = run_at(lo, seed_n)
-        r_hi = run_at(hi, seed_n)
+        r_lo = run_at(lo, seed_n, mode)
+        r_hi = run_at(hi, seed_n, mode)
         eff = (r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo)
         # CPU-seconds-per-URL weak scaling: ratio of WORK per unit output at
         # N vs 4N. Immune to the host's wall-clock credit throttle (an idle
@@ -126,6 +171,7 @@ def main():
         json.dumps(
             {
                 "seed_n": seed_n,
+                "mode": mode,
                 "levels": [lo, hi],
                 "pairs": runs,
                 "scaling_efficiency_best": best["efficiency"],
