@@ -77,3 +77,18 @@ def json_dump_expr(*cols: Column) -> Column:
 def archive_duration_expr(start_ts: Column, end_ts: Column) -> Column:
     """F19: whole seconds between start and end of processing."""
     return (F.unix_timestamp(end_ts) - F.unix_timestamp(start_ts)).cast("long")
+
+
+# F7 media-kind predicates (core/media.py:99-106: mimetype prefix tests)
+
+
+def is_image_expr(mimetype: Column) -> Column:
+    return F.coalesce(mimetype, F.lit("")).startswith("image")
+
+
+def is_video_expr(mimetype: Column) -> Column:
+    return F.coalesce(mimetype, F.lit("")).startswith("video")
+
+
+def is_audio_expr(mimetype: Column) -> Column:
+    return F.coalesce(mimetype, F.lit("")).startswith("audio")

@@ -79,6 +79,12 @@ def assign_buckets(embeddings: DataFrame, centroids: np.ndarray, vec_col="embedd
     return embeddings.withColumn("ivf_bucket", F.array_max(F.array(*entries))["bucket"])
 
 
+def _probe_buckets(centroids: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-12)
+    return np.argsort(-(centroids @ q))[:nprobe].tolist()
+
+
 def ivf_topk(
     bucketed: DataFrame,
     centroids: np.ndarray,
@@ -91,9 +97,37 @@ def ivf_topk(
     """Approximate top-k: scan only the ``nprobe`` buckets nearest the query.
     With the table written partitioned-by-bucket this is partition pruning —
     the scan skips (n_centroids - nprobe)/n_centroids of the data."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / (np.linalg.norm(q) + 1e-12)
-    probe = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    probe = _probe_buckets(centroids, query_vec, nprobe)
     return cosine_topk(
         bucketed.filter(F.col("ivf_bucket").isin(probe)), query_vec, k, id_col, vec_col
     )
+
+
+def write_ivf_index(
+    embeddings: DataFrame, centroids: np.ndarray, path: str, vec_col="embedding"
+) -> None:
+    """Persist the IVF index: the embedding table physically partitioned by
+    its centroid bucket. This is THE scale move — a probe's bucket filter
+    becomes metadata-level partition pruning (the scan never lists, opens or
+    reads the other (n_centroids - nprobe)/n_centroids of the files)."""
+    assign_buckets(embeddings, centroids, vec_col).write.mode("overwrite").partitionBy(
+        "ivf_bucket"
+    ).parquet(path)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """ANN query against a persisted IVF index — the bucket predicate prunes
+    partitions at planning time (assert: PartitionFilters in the scan node,
+    tests/test_plans.py)."""
+    probe = _probe_buckets(centroids, query_vec, nprobe)
+    scan = spark.read.parquet(path).filter(F.col("ivf_bucket").isin(probe))
+    return cosine_topk(scan, query_vec, k, id_col, vec_col)

@@ -590,6 +590,21 @@ def q_phash_pairs(spark, sf):
     )
 
 
+def q_dedup_components(spark, sf):
+    """Dedup-cluster collapse: near-dup pairs -> connected components, each
+    duplicate labeled with its canonical (min-id) representative. Min-label
+    propagation, O(diameter) skinny-join rounds (operators/dedup.py)."""
+    from .operators.dedup import connected_components, phash_near_dup_pairs  # noqa: PLC0415
+
+    imgs = _synth_phash(load(spark, sf, "documents"))
+    pairs = (
+        phash_near_dup_pairs(imgs, max_hamming=3).select("id_a", "id_b").localCheckpoint()
+    )
+    return connected_components(pairs).select(
+        F.col("id").cast("long").alias("id"), F.col("component").cast("long").alias("component")
+    )
+
+
 def q_ivf_topk(spark, sf):
     """IVF-style ANN (scale path of cosine_topk): seeded centroids, bucket
     assignment, nprobe-bucket scan. Approximate by construction -> rows-only
@@ -835,6 +850,7 @@ QUERIES = {
     "html_render": q_html_render,
     "atlos_feed": q_atlos_feed,
     "phash_pairs": q_phash_pairs,
+    "dedup_components": q_dedup_components,
     "ivf_topk": q_ivf_topk,
     "writeback_merge": q_writeback_merge,
     "extractor_routing": q_extractor_routing,
@@ -1176,6 +1192,27 @@ ORACLE = {
                                 AND a.id < b2.id)
         SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
         FROM p WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+    "dedup_components": """
+        WITH RECURSIVE h AS (SELECT doc_id AS id,
+            xor((('0x' || substr(md5('g' || (doc_id // 5)), 1, 15))::BIGINT),
+                (1::BIGINT << (doc_id % 5)::INT)) AS phash
+          FROM documents),
+        b AS (SELECT id, phash, t.i AS block, (phash >> (16 * t.i)) & 65535 AS val
+              FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) t),
+        p AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+              FROM b a JOIN b b2 ON a.block = b2.block AND a.val = b2.val
+                                AND a.id < b2.id
+              WHERE bit_count(xor(a.phash, b2.phash)) <= 3),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p),
+        nodes AS (SELECT DISTINCT src AS id FROM sym),
+        reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, sym.dst FROM reach JOIN sym ON sym.src = reach.r
+        )
+        SELECT id, min(r) AS component FROM reach GROUP BY id
     """,
     "writeback_merge": """
         WITH seed AS (SELECT event_id,

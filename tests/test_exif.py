@@ -39,3 +39,30 @@ def test_metadata_udf_and_baskets(spark):
         expect_fmt = "png" if r.fmt == "png" else "qjpg"
         assert r.fmt_basket["format"] == expect_fmt
         assert "width" not in r.fmt_basket  # basket filter really filters
+
+
+def test_media_kind_predicates(spark):
+    """F7 (media.py:99-106): mimetype-prefix kind tests."""
+    from auto_archiver_spark.functions.metadata_exprs import (
+        is_audio_expr,
+        is_image_expr,
+        is_video_expr,
+    )
+
+    df = spark.createDataFrame(
+        [("image/png",), ("image/jpeg",), ("video/mp4",), ("audio/ogg",),
+         ("text/html",), (None,)],
+        "mt string",
+    )
+    rows = df.select(
+        "mt",
+        is_image_expr(F.col("mt")).alias("i"),
+        is_video_expr(F.col("mt")).alias("v"),
+        is_audio_expr(F.col("mt")).alias("a"),
+    ).collect()
+    got = {r.mt: (r.i, r.v, r.a) for r in rows}
+    assert got["image/png"] == (True, False, False)
+    assert got["video/mp4"] == (False, True, False)
+    assert got["audio/ogg"] == (False, False, True)
+    assert got["text/html"] == (False, False, False)
+    assert got[None] == (False, False, False)

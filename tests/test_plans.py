@@ -123,6 +123,28 @@ def test_bloom_probe_is_bucket_aligned_no_driver_bitmaps(spark):
     assert "BroadcastExchange" not in plan
 
 
+def test_ivf_index_scan_prunes_partitions(spark, tmp_path):
+    """A persisted IVF index probe must prune at the PARTITION level — the
+    scan's PartitionFilters carry the bucket predicate, so non-probed
+    buckets are never listed/read."""
+    from auto_archiver_spark.operators.similarity import (
+        ivf_topk_from_index,
+        train_centroids,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = train_centroids(emb, n_centroids=8)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, idx)
+    q = list(emb.select("embedding").first()[0])
+    topk = ivf_topk_from_index(spark, idx, cents, q, k=5, nprobe=2)
+    plan = _plan(topk)
+    part_section = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "ivf_bucket" in part_section and "in" in part_section.lower()
+    assert len(topk.collect()) == 5
+
+
 def test_url_query_pushdown_end_to_end(spark):
     from auto_archiver_spark.queries import q_url_canonicalize
 

@@ -76,6 +76,20 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert len(minhash_lsh_candidates(small, bucket_cap=64).collect()) == 10
 
 
+def test_connected_components_chains_and_cliques(spark):
+    """Min-label propagation: multi-hop chains converge to the chain's min
+    id (needs >1 round), disjoint cliques stay separate."""
+    from auto_archiver_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_phash_near_dup_pairs_on_fixture(spark):
     imgs = images_df(spark, 130, partitions=4).localCheckpoint()
     pairs = phash_near_dup_pairs(imgs, max_hamming=3).collect()
