@@ -481,6 +481,89 @@ def q_embedding_neighbors(spark, sf):
     )
 
 
+def q_telegram_parse(spark, sf):
+    """X6 Telegram embed-page parse (telegram_extractor.py:17-76): the Spark
+    side SYNTHESIZES the html from event params and parses it with the real
+    extractor exprs; the oracle computes the expected output straight from
+    the params — the gate verifies the parser inverts the page shape."""
+    from .operators.extractors import telegram_parse_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(3))
+    m, s = F.pmod("event_id", F.lit(10)), F.pmod("event_id", F.lit(60))
+    dur_txt = F.concat(m.cast("string"), F.lit(":"), F.lpad(s.cast("string"), 2, "0"))
+    video_html = F.concat(
+        F.lit('<time datetime="2024-01-01T00:00:00+00:00">'), dur_txt,
+        F.lit('</time><video src="https://cdn.tg/v'), eid, F.lit('.mp4"></video>'),
+    )
+    photo_html = F.concat(
+        F.lit('<time datetime="2024-02-02T00:00:00+00:00"></time>'
+              '<div class="tgme_widget_message_photo_wrap x" '
+              "style=\"width:100px;background-image:url('https://cdn.tg/p"),
+        eid,
+        F.lit("a.jpg')\"></div><div class=\"tgme_widget_message_photo_wrap\" "
+              "style=\"background-image:url('https://cdn.tg/p"),
+        eid,
+        F.lit("b.jpg')\"></div>"),
+    )
+    html = (
+        F.when(k == 0, video_html)
+        .when(k == 1, photo_html)
+        .otherwise(F.lit("<html><body>nothing</body></html>"))
+    )
+    out = ev.select("event_id", *telegram_parse_cols(html))
+    return out.select(
+        "event_id",
+        "ts",
+        "video_url",
+        F.array_join("image_urls", ",").alias("images_csv"),
+        "duration_s",
+        "status",
+    )
+
+
+def q_bluesky_embeds(spark, sf):
+    """X5 Bluesky post parse (generic_extractor/bluesky.py:9-83): raw JSON
+    document -> title/timestamp/author + getBlob media URL fan-out. Same
+    synthesize-then-parse gate shape as q_telegram_parse."""
+    from .operators.extractors import bluesky_parse_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    did = F.concat(F.lit("did:plc:"), F.substring(F.md5(eid), 1, 12))
+    n_img = F.pmod("event_id", F.lit(3)).cast("int")
+    has_vid = F.pmod("event_id", F.lit(5)) == 0
+    imgs_json = F.when(
+        n_img > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_img),
+                lambda i: F.concat(
+                    F.lit('{"image":{"ref":{"$link":"cid-img-'), eid, F.lit("-"),
+                    i.cast("string"), F.lit('"}}}'),
+                ),
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(""))
+    video_json = F.when(
+        has_vid,
+        F.concat(F.lit(',"video":{"ref":{"$link":"cid-vid-'), eid, F.lit('"}}')),
+    ).otherwise(F.lit(""))
+    post = F.concat(
+        F.lit('{"author":{"did":"'), did,
+        F.lit('"},"record":{"text":"post '), eid,
+        F.lit('","createdAt":"2024-03-03T03:03:03Z","embed":{"images":['),
+        imgs_json, F.lit("]"), video_json, F.lit("}}}"),
+    )
+    out = ev.select("event_id", *bluesky_parse_cols(post))
+    return out.select(
+        "event_id", "title", "created_at", "author_did",
+        F.array_join("media_urls", ",").alias("media_csv"),
+    )
+
+
 def q_livestream_skip(spark, sf):
     """P14 livestream skip (generic_extractor.py:476-480): drop rows that are
     live unless livestream archiving is enabled for the row's config."""
@@ -845,6 +928,8 @@ QUERIES = {
     "embedding_neighbors": q_embedding_neighbors,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
+    "telegram_parse": q_telegram_parse,
+    "bluesky_embeds": q_bluesky_embeds,
     "livestream_skip": q_livestream_skip,
     "content_append": q_content_append,
     "html_render": q_html_render,
@@ -1136,6 +1221,43 @@ ORACLE = {
     # minhash_lsh / simhash_buckets: md5-derived 64-bit sketch arithmetic is not
     # expressible in portable SQL -> rows-only driver check; exact-value pytest
     # coverage lives in tests/test_sketches.py.
+    "telegram_parse": """
+        SELECT event_id,
+          CASE event_id % 3 WHEN 0 THEN '2024-01-01T00:00:00+00:00'
+               WHEN 1 THEN '2024-02-02T00:00:00+00:00' END AS ts,
+          CASE WHEN event_id % 3 = 0 THEN 'https://cdn.tg/v' || event_id || '.mp4' END
+            AS video_url,
+          CASE WHEN event_id % 3 = 1
+               THEN 'https://cdn.tg/p' || event_id || 'a.jpg,https://cdn.tg/p'
+                    || event_id || 'b.jpg'
+               ELSE '' END AS images_csv,
+          CASE WHEN event_id % 3 = 0
+               THEN CAST((event_id % 10) * 60 + (event_id % 60) AS DOUBLE) END
+            AS duration_s,
+          CASE WHEN event_id % 3 = 2 THEN 'nothing archived'
+               ELSE 'telegram: success' END AS status
+        FROM events
+    """,
+    "bluesky_embeds": """
+        WITH m AS (SELECT event_id,
+            'did:plc:' || substr(md5(event_id::VARCHAR), 1, 12) AS did,
+            (event_id % 3)::INT AS n_img, event_id % 5 = 0 AS has_vid
+          FROM events)
+        SELECT event_id,
+          'post ' || event_id AS title,
+          '2024-03-03T03:03:03Z' AS created_at,
+          did AS author_did,
+          coalesce(array_to_string(
+            ['https://bsky.social/xrpc/com.atproto.sync.getBlob?cid=cid-img-'
+               || event_id || '-' || i || '&did=' || did
+             for i in generate_series(1, n_img)]
+            || CASE WHEN has_vid
+               THEN ['https://bsky.social/xrpc/com.atproto.sync.getBlob?cid=cid-vid-'
+                     || event_id || '&did=' || did]
+               ELSE CAST([] AS VARCHAR[]) END,
+            ','), '') AS media_csv
+        FROM m
+    """,
     "livestream_skip": """
         SELECT event_id, user_id, event_id % 6 = 0 AS is_live
         FROM events
