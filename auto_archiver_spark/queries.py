@@ -198,6 +198,59 @@ def q_most_complete(spark, sf):
     )
 
 
+def q_metadata_merge(spark, sf):
+    """A4 Metadata.merge end-to-end (core/metadata.py:37-64): two extractor
+    attempts per key merged with the full rule set — scalar later-wins on the
+    metadata map (map_concat LAST_WIN), media lists concatenate in attempt
+    order, status/title overwritten only by non-empty values. Runs the real
+    merge_extractor_results operator; map/array outputs stringified for the
+    harness."""
+    from .operators.merge import merge_extractor_results  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    es = eid.cast("string")
+    meta1 = F.create_map(
+        F.lit("a"), F.lit("1"), F.lit("b"), F.concat(F.lit("x"), es)
+    )
+    meta2 = F.create_map(
+        F.lit("b"), F.concat(F.lit("y"), es), F.lit("c"), F.lit("2")
+    )
+    a1 = ev.select(
+        eid.alias("url_hash"),
+        F.lit(1).alias("attempt"),
+        F.when(F.pmod(eid, F.lit(4)) == 0, "").otherwise("wacz: success").alias("status"),
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.concat(F.lit("t1-"), es)).otherwise(F.lit("")).alias("title"),
+        F.array(F.concat(F.lit("m1-"), es)).alias("media"),
+        meta1.alias("metadata"),
+    )
+    a2 = ev.select(
+        eid.alias("url_hash"),
+        F.lit(2).alias("attempt"),
+        F.when(F.pmod(eid, F.lit(2)) == 0, "success").otherwise(F.lit("")).alias("status"),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.concat(F.lit("t2-"), es)).otherwise(F.lit("")).alias("title"),
+        F.when(F.pmod(eid, F.lit(7)) == 0, F.array(F.concat(F.lit("m2-"), es)))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("media"),
+        meta2.alias("metadata"),
+    )
+    merged = merge_extractor_results(a1.unionByName(a2))
+    kv = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys(F.col("metadata"))),
+            lambda k: F.concat(k, F.lit("="), F.element_at(F.col("metadata"), k)),
+        ),
+        ",",
+    )
+    return merged.select(
+        F.col("url_hash").alias("event_id"),
+        "status",
+        "title",
+        F.array_join("media", ",").alias("media_csv"),
+        kv.alias("meta_csv"),
+    )
+
+
 def q_merge_status(spark, sf):
     """A4 status-merge rule: latest status wins per key."""
     ev = load(spark, sf, "events")
@@ -368,6 +421,21 @@ def q_storage_key(spark, sf):
         F.concat(F.substring(F.md5("text"), 1, 24), F.lit(".txt")),
     )
     return d.select("doc_id", key.alias("storage_key"))
+
+
+def q_filename_truncate(spark, sf):
+    """O5 filename truncation (core/extractor.py:92-94): keep the LAST 64
+    chars of the basename (python name[-64:] semantics on both engines)."""
+    d = load(spark, sf, "documents")
+    base = F.concat(
+        F.lit("file-"),
+        F.regexp_replace(F.substring("text", 1, 100), r"\s+", "_"),
+        F.lit("-"),
+        F.col("doc_id").cast("string"),
+        F.lit(".jpg"),
+    )
+    name = F.substr(base, F.greatest(F.length(base) - F.lit(63), F.lit(1)), F.lit(64))
+    return d.select("doc_id", name.alias("fname64"))
 
 
 def q_timestamp_format(spark, sf):
@@ -905,6 +973,7 @@ QUERIES = {
     "dedup_first_per_key": q_dedup_first_per_key,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
+    "metadata_merge": q_metadata_merge,
     "top_variant": q_top_variant,
     "pricing_summary": q_pricing_summary,
     "media_totals": q_media_totals,
@@ -917,6 +986,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "storage_key": q_storage_key,
+    "filename_truncate": q_filename_truncate,
     "timestamp_format": q_timestamp_format,
     "human_bytes": q_human_bytes,
     "pdq_list": q_pdq_list,
@@ -1046,6 +1116,17 @@ ORACLE = {
                                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
           FROM orders) WHERE rn = 1
     """,
+    "metadata_merge": """
+        SELECT event_id,
+          CASE WHEN event_id % 2 = 0 THEN 'success' ELSE 'wacz: success' END AS status,
+          CASE WHEN event_id % 5 = 0 THEN 't2-' || event_id
+               WHEN event_id % 3 = 0 THEN 't1-' || event_id
+               ELSE '' END AS title,
+          CASE WHEN event_id % 7 = 0 THEN 'm1-' || event_id || ',m2-' || event_id
+               ELSE 'm1-' || event_id END AS media_csv,
+          'a=1,b=y' || event_id || ',c=2' AS meta_csv
+        FROM events
+    """,
     "merge_status": """
         SELECT user_id, event_type AS last_status FROM (
           SELECT user_id, event_type,
@@ -1161,6 +1242,14 @@ ORACLE = {
         SELECT doc_id, source || '/' || s || '-' || doc_id || '/'
                || substr(md5(text), 1, 24) || '.txt' AS storage_key
         FROM slug
+    """,
+    "filename_truncate": """
+        WITH b AS (SELECT doc_id,
+            'file-' || regexp_replace(substr(text, 1, 100), '\\s+', '_', 'g')
+                    || '-' || doc_id || '.jpg' AS base
+          FROM documents)
+        SELECT doc_id, substr(base, greatest(length(base) - 63, 1), 64) AS fname64
+        FROM b
     """,
     "timestamp_format": """
         SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts_iso,
