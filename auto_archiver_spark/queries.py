@@ -207,6 +207,10 @@ def q_metadata_merge(spark, sf):
     harness."""
     from .operators.merge import merge_extractor_results  # noqa: PLC0415
 
+    # A4's scalar-overwrite rule is expressed via map_concat, whose duplicate-
+    # key behavior is session-config-dependent; pin it here so the query is
+    # correct under ANY harness session, not just session.py's
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     ev = load(spark, sf, "events")
     eid = F.col("event_id")
     es = eid.cast("string")
@@ -440,6 +444,8 @@ def q_filename_truncate(spark, sf):
 
 def q_timestamp_format(spark, sf):
     """F9 timestamp normalization (utils/misc.py:64-102): ISO-8601 + epoch."""
+    # naive-timestamp -> epoch depends on session tz; pin UTC (matches DuckDB)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf, "events")
     return ev.select(
         "event_id",
@@ -955,6 +961,7 @@ def q_archive_duration(spark, sf):
     between consecutive per-user events (start/end of processing analog)."""
     from .functions.metadata_exprs import archive_duration_expr  # noqa: PLC0415
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # epoch math, see F9
     ev = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     dur = archive_duration_expr(F.lag("ts").over(w), F.col("ts"))
