@@ -63,11 +63,6 @@ def simhash64(tokens: list[str]) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-@F.pandas_udf(LongType())
-def simhash64_udf(token_arrays: pd.Series) -> pd.Series:
-    return token_arrays.map(lambda toks: simhash64(list(toks)))
-
-
 # ---- MinHash ---------------------------------------------------------------------
 
 # fixed odd multipliers/offsets (splitmix-derived constants), k permutations of
@@ -94,14 +89,6 @@ def shingles(words: list[str], n: int = 3) -> list[str]:
     if len(words) < n:
         return [" ".join(words)] if words else []
     return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-
-
-def minhash_udf(n: int = 3, k: int = _MINHASH_K):
-    @F.pandas_udf("array<long>")
-    def _udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: minhash_signature(shingles(t.split(), n), k))
-
-    return _udf
 
 
 # ---- vectorized sketch path -------------------------------------------------------
@@ -134,27 +121,6 @@ def _batch_minhash(texts: pd.Series, n: int, k: int) -> np.ndarray:
         starts = offsets[:-1][lens > 0]
         sigs[lens > 0] = np.minimum.reduceat(table, starts, axis=0)
     return sigs
-
-
-def minhash_from_hashes_udf(k: int = _MINHASH_K):
-    """MinHash over pre-hashed (int64) shingle arrays: sig_i = min(a_i*h + b_i)."""
-    A, B = _MH_A[:k], _MH_B[:k]
-
-    @F.pandas_udf("array<long>")
-    def _udf(hash_arrays: pd.Series) -> pd.Series:
-        zero = [0] * k
-        out = []
-        with np.errstate(over="ignore"):
-            for arr in hash_arrays:
-                hs = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-                if hs.size == 0:
-                    out.append(zero)
-                    continue
-                sig = (hs[:, None] * A + B).min(axis=0).astype(np.int64)
-                out.append(sig.tolist())
-        return pd.Series(out)
-
-    return _udf
 
 
 def minhash_band_keys_udf(n: int = 3, bands: int = 16, rows_per_band: int = 4):

@@ -101,3 +101,11 @@ def test_atlos_feeder(spark, tmp_path):
     p.write_text("\n".join(json.dumps(r) for r in rows))
     out = {r.row_idx: r.url for r in atlos_feeder(spark, str(p)).collect()}
     assert out == {1: "https://a.com/1", 6: "https://a.com/6"}
+
+
+def test_dedup_keep_order():
+    """A11 (orchestrator.py:168): first-seen-order-preserving config dedup."""
+    from auto_archiver_spark.operators.merge import dedup_keep_order
+
+    assert dedup_keep_order(["b", "a", "b", "c", "a"]) == ["b", "a", "c"]
+    assert dedup_keep_order([]) == []
