@@ -56,6 +56,11 @@ def image_metadata(data: bytes) -> dict[str, str]:
         (length,) = struct.unpack(">I", body[pos : pos + 4])
         tag = body[pos + 4 : pos + 8]
         if tag == b"IHDR":
+            # a truncated IHDR must flag the record, not raise inside the
+            # Arrow UDF and fail the whole Spark task (round-2 ADVICE)
+            if pos + 18 > len(body):
+                meta["corrupt"] = "truncated-ihdr"
+                break
             w, h, depth, ctype = struct.unpack(">IIBB", body[pos + 8 : pos + 18])
             meta.update(
                 width=str(w), height=str(h), bit_depth=str(depth), color_type=str(ctype)

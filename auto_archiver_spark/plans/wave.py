@@ -122,6 +122,7 @@ def run_crawl(
         # (committed incrementally below) — the driver holds only a handle,
         # never a bitmap; probe is a bucket-aligned cogroup (bloom.py).
         bloom = None
+        bloom_full_build = False  # True when rebuilt from url_seen this wave
         if config.use_bloom and io.exists("url_seen"):
             from ..operators.bloom import BloomSidecar  # noqa: PLC0415
             from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
@@ -130,6 +131,7 @@ def run_crawl(
                 bloom = BloomSidecar.from_table(io.read(spark, "url_seen_bloom"), N_BUCKETS)
             else:  # legacy/resumed layout without a sidecar: one full build
                 bloom = BloomSidecar.build(seen, N_BUCKETS)
+                bloom_full_build = True
         mark("bloom_build")
         new_urls = anti_join_seen(cand, seen, bloom)
 
@@ -235,11 +237,17 @@ def run_crawl(
             from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
 
             delta = build_sidecar(newly_seen, N_BUCKETS)
-            merged = (
-                merge_sidecars(io.read(spark, "url_seen_bloom"), delta)
-                if io.exists("url_seen_bloom")
-                else delta
-            )
+            if io.exists("url_seen_bloom"):
+                merged = merge_sidecars(io.read(spark, "url_seen_bloom"), delta)
+            elif bloom_full_build:
+                # legacy/migration wave (url_seen existed before any sidecar):
+                # the probe used a FULL rebuild this wave — persist that full
+                # sidecar OR-merged with the delta, not the delta alone, or
+                # every later wave would probe an incomplete bitmap and treat
+                # previously-seen URLs as provably new (round-2 ADVICE high)
+                merged = merge_sidecars(bloom.sidecar, delta)
+            else:
+                merged = delta
             snap_ids["url_seen_bloom"] = io.commit(
                 merged, "url_seen_bloom", wave, mode="overwrite"
             )

@@ -24,6 +24,8 @@ rotation (browsertrix rotates ~1 GB), not by splitting records mid-file.
 
 from __future__ import annotations
 
+import io as _io
+import zipfile
 import zlib
 from collections.abc import Iterator
 
@@ -52,6 +54,20 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _wacz_to_warc_bytes(data: bytes) -> bytes:
+    """Merge a .wacz ZIP container's ``archive/*.gz`` members (sorted by
+    name, byte-concatenated — gzip members concatenate losslessly) into one
+    WARC stream, exactly the reference's unzip-then-merge step
+    (wacz_extractor_enricher.py:185-196). One shared per-WACZ seen-URL set
+    falls out naturally because the caller parses the merged stream."""
+    with zipfile.ZipFile(_io.BytesIO(data)) as z:
+        names = sorted(
+            n for n in z.namelist()
+            if n.startswith("archive/") and n.endswith(".gz")
+        )
+        return b"".join(z.read(n) for n in names)
+
+
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Iterate records of a WARC/1.0 byte stream: yields dicts with
     ``headers`` (WARC header map, lowercase keys) and ``payload``."""
@@ -77,7 +93,13 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             if ":" in line:
                 k, v = line.split(":", 1)
                 headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            # a non-numeric Content-Length loses the record boundary — stop
+            # parsing this archive (records already yielded stand) instead of
+            # raising inside the Arrow UDF and failing the task (r2 ADVICE)
+            return
         payload = data[head_end + 4 : head_end + 4 + length]
         yield {"headers": headers, "payload": payload}
         pos = head_end + 4 + length
@@ -97,11 +119,29 @@ def _split_http(payload: bytes) -> tuple[dict, bytes]:
 
 
 def extract_media_records(data: bytes, extract_screenshots: bool = True) -> list[dict]:
-    """The reference's record loop (:203-263) over one archive's bytes."""
+    """The reference's record loop (:203-263) over one archive's bytes.
+
+    Corrupt archives (truncated gzip member, garbage header) yield the
+    records parsed so far rather than failing the Spark task — one bad
+    crawl dump must not kill a 100 TB scan (round-2 ADVICE)."""
     out: list[dict] = []
     seen_urls: set[str] = set()  # A3: per-archive, first wins
     n_shot = 0
-    for rec in parse_warc(data):
+    if data[:4] == b"PK\x03\x04":  # .wacz ZIP container (S5 container mode)
+        try:
+            data = _wacz_to_warc_bytes(data)
+        except (zipfile.BadZipFile, KeyError):
+            return out
+    records: list[dict] = []
+    rec_iter = parse_warc(data)
+    while True:
+        try:
+            records.append(next(rec_iter))
+        except StopIteration:
+            break
+        except (zlib.error, UnicodeDecodeError, ValueError):
+            break  # keep whatever parsed before the corruption point
+    for rec in records:
         h = rec["headers"]
         rtype = h.get("warc-type")
         if (
@@ -187,6 +227,27 @@ def build_warc_record(
         headers.append(("Content-Type", content_type))
     head = "WARC/1.0\r\n" + "".join(f"{k}: {v}\r\n" for k, v in headers)
     return head.encode("latin1") + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def build_wacz(warc_bytes: bytes, members: int = 2) -> bytes:
+    """Fixture .wacz: split the WARC stream into ``members`` gzip chunks
+    under ``archive/`` (the browsertrix layout the reference unzips and
+    byte-merges, wacz_extractor_enricher.py:185-196) plus a minimal
+    datapackage.json. Split points are arbitrary byte offsets — the merge
+    step byte-concatenates the gunzipped members, restoring the stream."""
+    import gzip  # noqa: PLC0415
+
+    buf = _io.BytesIO()
+    n = max(1, (len(warc_bytes) + members - 1) // members)
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for idx, start in enumerate(range(0, len(warc_bytes), n)):
+            z.writestr(
+                f"archive/data-{idx:03d}.warc.gz",
+                gzip.compress(warc_bytes[start : start + n]),
+            )
+        z.writestr("datapackage.json", '{"profile": "data-package"}')
+        z.writestr("pages/pages.jsonl", "")
+    return buf.getvalue()
 
 
 def build_http_response(body: bytes, content_type: str) -> bytes:

@@ -76,3 +76,39 @@ def test_recover_rolls_back_uncheckpointed_commits(spark):
         assert io.read(spark, "url_seen").count() == n_after_partial - 1
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_resume_without_sidecar_persists_full_bloom(spark):
+    """Round-2 ADVICE (high): resuming a checkpoint that predates the Bloom
+    sidecar (url_seen exists, url_seen_bloom doesn't) must persist the FULL
+    rebuilt sidecar, not just the wave delta — otherwise later waves probe an
+    incomplete bitmap and re-admit previously-seen URLs."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.operators.bloom import BloomSidecar
+    from auto_archiver_spark.operators.frontier import N_BUCKETS
+
+    root = tempfile.mkdtemp(prefix="aas_bloom_migrate_")
+    try:
+        io, cp = TableIO(root), WaveCheckpoint(root)
+        # wave 0 ran before the sidecar existed (use_bloom off)
+        run_crawl(
+            spark, io, cp, frontier_seed_df(spark, N), host_policy_df(spark),
+            CrawlConfig(use_bloom=False, **CFG), stop_after_wave=0,
+        )
+        assert io.exists("url_seen") and not io.exists("url_seen_bloom")
+        # resume with the sidecar toggled on -> legacy full-build branch
+        run_crawl(
+            spark, io, cp, frontier_seed_df(spark, N), host_policy_df(spark),
+            CrawlConfig(use_bloom=True, **CFG),
+        )
+        assert io.exists("url_seen_bloom")
+        # every key ever admitted (incl. wave 0, pre-sidecar) must be bloom-
+        # positive: probe the whole url_seen table against the persisted sidecar
+        seen = io.read(spark, "url_seen").select("url_hash")
+        assert seen.count() == seen.select("url_hash").distinct().count()
+        bloom = BloomSidecar.from_table(io.read(spark, "url_seen_bloom"), N_BUCKETS)
+        missed = bloom.might_contain_col(seen).filter(~F.col("maybe_seen")).count()
+        assert missed == 0, f"{missed} url_seen keys missing from persisted sidecar"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

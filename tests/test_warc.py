@@ -106,3 +106,64 @@ def test_scan_warc_media_spark_source(spark, tmp_path):
     assert all(r.archive for r in rows)
     mp4 = [r for r in rows if r.content_type == "video/mp4"]
     assert all(bytes(r.payload) == b"MP4DATA" for r in mp4)
+
+
+def test_wacz_container_matches_bare_warc(spark, tmp_path):
+    """S5 container mode: a .wacz ZIP of archive/*.warc.gz members yields
+    IDENTICAL rows to the bare WARC path (unzip-merge-parse, reference
+    wacz_extractor_enricher.py:185-196)."""
+    from auto_archiver_spark.sources.warc import build_wacz
+
+    raw = _sample_warc()
+    bare = extract_media_records(raw)
+    for members in (1, 3):
+        wacz = extract_media_records(build_wacz(raw, members=members))
+        assert [(m["record_url"], m["payload"]) for m in wacz] == [
+            (m["record_url"], m["payload"]) for m in bare
+        ]
+    # via the Spark source too (binaryFile picks up .wacz next to .warc)
+    with open(os.path.join(tmp_path, "cap.warc"), "wb") as f:
+        f.write(raw)
+    with open(os.path.join(tmp_path, "cap2.wacz"), "wb") as f:
+        f.write(build_wacz(raw))
+    rows = scan_warc_media(spark, str(tmp_path)).collect()
+    assert len(rows) == 8  # 4 media rows per archive, per-archive dedup
+
+
+def test_corrupt_records_skip_not_crash(spark, tmp_path):
+    """Round-2 ADVICE: malformed records must degrade to skips, not fail the
+    Spark task."""
+    import gzip as _gzip
+
+    good = build_warc_record(
+        "response", "https://site.example/ok.jpg",
+        build_http_response(b"OKDATA", "image/jpeg"),
+    )
+    # non-numeric Content-Length after a good record: keep the good one
+    bad = good.replace(b"Content-Length: ", b"Content-Length: NaN", 1)
+    assert [m["record_url"] for m in extract_media_records(good + bad)] == [
+        "https://site.example/ok.jpg"
+    ]
+    # gzip truncated mid-deflate-stream -> no complete record, no exception
+    assert extract_media_records(_gzip.compress(good)[:20]) == []
+    # garbage zip container -> no rows, no exception
+    assert extract_media_records(b"PK\x03\x04" + b"\x00" * 64) == []
+    # end-to-end through the Arrow UDF: one corrupt archive in the directory
+    with open(os.path.join(tmp_path, "good.warc"), "wb") as f:
+        f.write(good)
+    with open(os.path.join(tmp_path, "bad.warc.gz"), "wb") as f:
+        f.write(_gzip.compress(good)[:20])
+    rows = scan_warc_media(spark, str(tmp_path)).collect()
+    assert [r.record_url for r in rows] == ["https://site.example/ok.jpg"]
+
+
+def test_truncated_ihdr_flags_not_crash():
+    """functions/exif.py: a truncated IHDR flags the record (r2 ADVICE)."""
+    from auto_archiver_spark.functions.exif import _PNG_SIG, image_metadata
+
+    import struct as _struct
+    # chunk header claims IHDR but the payload is cut short
+    trunc = _PNG_SIG + _struct.pack(">I", 13) + b"IHDR" + b"\x00\x00"
+    meta = image_metadata(trunc)
+    assert meta["corrupt"] == "truncated-ihdr"
+    assert meta["format"] == "png"
