@@ -122,3 +122,151 @@ def bluesky_parse_cols(post_json: Column) -> list[Column]:
         did.alias("author_did"),
         urls.alias("media_urls"),
     ]
+
+
+# ---- X4: Twitter (fxtwitter-normalized) post JSON ---------------------------------
+
+_VARIANT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("content_type", StringType()),
+    ]
+)
+TW_POST_SCHEMA = StructType(
+    [
+        StructField("user", StructType([StructField("name", StringType())])),
+        StructField("created_at", StringType()),
+        StructField("full_text", StringType()),
+        StructField(
+            "entities",
+            StructType(
+                [
+                    StructField(
+                        "media",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("type", StringType()),
+                                    StructField("media_url_https", StringType()),
+                                    StructField(
+                                        "video_info",
+                                        StructType(
+                                            [StructField("variants", ArrayType(_VARIANT))]
+                                        ),
+                                    ),
+                                ]
+                            )
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+_WH_RE = r"/(\d+)x(\d+)/"  # generic_extractor/twitter.py:21 (\/(\d+)x(\d+)\/)
+
+
+def choose_variant_expr(variants: Column) -> Column:
+    """The reference's sequential best-variant fold
+    (generic_extractor/twitter.py:17-30), bit-exact as an ``aggregate``:
+
+    * ``video/mp4`` variants with a ``/WxH/`` path segment replace the pick
+      when ``w > best_w OR h > best_h`` (both dims then update);
+    * mp4 variants *without* parseable dims never replace anything;
+    * non-mp4 variants are taken only while no pick exists yet.
+
+    Returns struct(url, content_type) — null url when no variants.
+    """
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("ct"),
+        F.lit(0).alias("w"),
+        F.lit(0).alias("h"),
+    )
+
+    def step(acc, var):
+        w = F.regexp_extract(var["url"], _WH_RE, 1).try_cast("int")
+        h = F.regexp_extract(var["url"], _WH_RE, 2).try_cast("int")
+        is_mp4 = var["content_type"] == "video/mp4"
+        better = is_mp4 & w.isNotNull() & ((w > acc["w"]) | (h > acc["h"]))
+        first_other = (~is_mp4) & acc["url"].isNull()
+        return (
+            F.when(
+                better,
+                F.struct(
+                    var["url"].alias("url"), var["content_type"].alias("ct"),
+                    w.alias("w"), h.alias("h"),
+                ),
+            )
+            .when(
+                first_other,
+                F.struct(
+                    var["url"].alias("url"), var["content_type"].alias("ct"),
+                    acc["w"].alias("w"), acc["h"].alias("h"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    picked = F.aggregate(F.coalesce(variants, F.array().cast(ArrayType(_VARIANT))), acc0, step)
+    return F.struct(picked["url"].alias("url"), picked["ct"].alias("content_type"))
+
+
+# created_at format "Sun Feb 08 18:45:00 +0000 2026"
+# (generic_extractor/twitter.py:131: "%a %b %d %H:%M:%S %z %Y").
+# Spark's parser rejects week-based 'E' patterns, so the weekday token is
+# stripped first — faithful to strptime, which never cross-validates %a
+# against the date anyway.
+_TW_TS_FMT = "MMM dd HH:mm:ss xx yyyy"
+
+
+def twitter_parse_cols(post_json: Column) -> list[Column]:
+    """Columns (author, title, content, ts, status, media) from one
+    fxtwitter-normalized tweet document (generic_extractor/twitter.py
+    create_metadata, :120-169):
+
+    * title = ``author - full_text`` (:139), content = full_text;
+    * timestamp from created_at via the twitter date format (:131);
+    * per-media (src, mimetype): photo -> best-quality media_url_https +
+      image/jpeg (:149-151); video -> choose_variant (:152-155);
+      animated_gif -> variants[0] (:156-158);
+    * no media -> status 'twitter-ytdl', else 'twitter: success' (:141-144).
+    """
+    from ..functions.url_exprs import twitter_best_quality_expr  # noqa: PLC0415
+
+    p = F.from_json(post_json, TW_POST_SCHEMA)
+    author = p["user"]["name"]
+    text = F.coalesce(p["full_text"], F.lit(""))
+    ts = F.to_timestamp(
+        F.regexp_replace(p["created_at"], r"^[A-Za-z]{3} ", ""), _TW_TS_FMT
+    )
+    media = F.coalesce(
+        p["entities"]["media"], F.array().cast(TW_POST_SCHEMA["entities"].dataType["media"].dataType)
+    )
+
+    def entry(m):
+        photo = F.struct(
+            twitter_best_quality_expr(m["media_url_https"]).alias("src"),
+            F.lit("image/jpeg").alias("mimetype"),
+        )
+        chosen = choose_variant_expr(m["video_info"]["variants"])
+        video = F.struct(chosen["url"].alias("src"), chosen["content_type"].alias("mimetype"))
+        g = F.try_element_at(m["video_info"]["variants"], F.lit(1))
+        gif = F.struct(g["url"].alias("src"), g["content_type"].alias("mimetype"))
+        return (
+            F.when(m["type"] == "photo", photo)
+            .when(m["type"] == "video", video)
+            .when(m["type"] == "animated_gif", gif)
+        )
+
+    media_out = F.filter(F.transform(media, entry), lambda e: e.isNotNull())
+    status = F.when(F.size(media_out) == 0, "twitter-ytdl").otherwise(F.lit("twitter: success"))
+    return [
+        author.alias("author"),
+        F.concat(author, F.lit(" - "), text).alias("title"),
+        text.alias("content"),
+        ts.alias("ts"),
+        status.alias("status"),
+        media_out.alias("media"),
+    ]

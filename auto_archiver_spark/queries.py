@@ -638,6 +638,109 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_media_explode(spark, sf):
+    """J4 media explode -> per-child process -> ordered re-collect
+    (core/metadata.py:152-162, core/media.py:37-55): the round trip must
+    preserve element order and empty-media parents. Children get a real
+    per-child transformation (enricher analog) between the two halves."""
+    from .operators.media import explode_media, recollect_media  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    n = F.pmod(eid, F.lit(4)).cast("int")
+    mk = lambda i: F.struct(  # noqa: E731
+        F.concat(F.lit("m-"), eid.cast("string"), F.lit("-"), i.cast("string")).alias("id"),
+        F.pmod(eid * i, F.lit(1000)).alias("size"),
+    )
+    parents = ev.select(
+        eid.alias("event_id"),
+        F.when(n > 0, F.transform(F.sequence(F.lit(1), n), mk))
+        .otherwise(F.array().cast("array<struct<id:string,size:bigint>>"))
+        .alias("media"),
+    )
+    children = explode_media(parents, ["event_id"])
+    processed = children.withColumn(
+        "m",
+        F.when(
+            F.col("m").isNotNull(),
+            F.struct(
+                F.col("m.id").alias("id"), (F.col("m.size") * 2).alias("size")
+            ),
+        ),
+    )
+    back = recollect_media(processed, ["event_id"])
+    return back.select(
+        "event_id",
+        F.size("media").alias("n_media"),
+        F.array_join(
+            F.transform(
+                F.col("media"),
+                lambda m: F.concat(m["id"], F.lit(":"), m["size"].cast("string")),
+            ),
+            ",",
+        ).alias("media_csv"),
+    )
+
+
+def q_twitter_parse(spark, sf):
+    """X4 Twitter dropin parse (generic_extractor/twitter.py:17-30,120-169):
+    fxtwitter-normalized tweet JSON -> author/title/timestamp/status + per-
+    media (src, mimetype) incl. the sequential best-variant fold and the P8
+    photo rewrite. Synthesize-then-parse gate shape: Spark builds the JSON
+    from event params and runs the real parser; the oracle computes the
+    expected output straight from the params."""
+    from .operators.extractors import twitter_parse_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    hh = F.lpad(F.pmod("event_id", F.lit(24)).cast("string"), 2, "0")
+    mm = F.lpad(F.pmod("event_id", F.lit(60)).cast("string"), 2, "0")
+    created = F.concat(F.lit("Sun Feb 08 "), hh, F.lit(":"), mm, F.lit(":33 +0000 2026"))
+    photo_media = F.concat(
+        F.lit('{"type":"photo","media_url_https":"https://pbs.twimg.com/media/m'),
+        eid, F.lit('?name=small"}'),
+    )
+    video_media = F.concat(
+        F.lit('{"type":"video","video_info":{"variants":['
+              '{"url":"https://v.twimg.com/t'), eid,
+        F.lit('/320x180/a.mp4","content_type":"video/mp4"},'
+              '{"url":"https://v.twimg.com/pl/x.m3u8","content_type":"application/x-mpegURL"},'
+              '{"url":"https://v.twimg.com/t'), eid,
+        F.lit('/1280x720/b.mp4","content_type":"video/mp4"}]}}'),
+    )
+    gif_media = F.concat(
+        F.lit('{"type":"animated_gif","video_info":{"variants":['
+              '{"url":"https://v.twimg.com/g'), eid,
+        F.lit('/1.mp4","content_type":"video/mp4"},{"url":"https://v.twimg.com/g'), eid,
+        F.lit('/2.mp4","content_type":"video/mp4"}]}}'),
+    )
+    media_json = (
+        F.when(k == 0, photo_media).when(k == 1, video_media).when(k == 3, gif_media)
+        .otherwise(F.lit(""))
+    )
+    doc = F.concat(
+        F.lit('{"user":{"name":"u'), F.pmod("event_id", F.lit(50)).cast("string"),
+        F.lit('"},"created_at":"'), created,
+        F.lit('","full_text":"tweet '), eid,
+        F.lit('","entities":{"media":['), media_json, F.lit("]}}"),
+    )
+    out = ev.select("event_id", *twitter_parse_cols(doc))
+    return out.select(
+        "event_id",
+        "author",
+        "title",
+        # the parsed instant carries an explicit +0000 offset -> epoch is
+        # session-timezone-independent on both engines
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "status",
+        F.array_join(
+            F.transform(F.col("media"), lambda m: F.concat_ws("|", m["src"], m["mimetype"])),
+            ",",
+        ).alias("media_csv"),
+    )
+
+
 def q_livestream_skip(spark, sf):
     """P14 livestream skip (generic_extractor.py:476-480): drop rows that are
     live unless livestream archiving is enabled for the row's config."""
@@ -1007,6 +1110,8 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     "telegram_parse": q_telegram_parse,
     "bluesky_embeds": q_bluesky_embeds,
+    "twitter_parse": q_twitter_parse,
+    "media_explode": q_media_explode,
     "livestream_skip": q_livestream_skip,
     "content_append": q_content_append,
     "html_render": q_html_render,
@@ -1353,6 +1458,31 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "media_explode": """
+        SELECT event_id,
+          (event_id % 4)::INT AS n_media,
+          coalesce(array_to_string(
+            ['m-' || event_id || '-' || i || ':' || ((event_id * i) % 1000) * 2
+             for i in generate_series(1, (event_id % 4)::INT)], ','), '') AS media_csv
+        FROM events
+    """,
+    "twitter_parse": """
+        SELECT event_id,
+          'u' || (event_id % 50) AS author,
+          'u' || (event_id % 50) || ' - tweet ' || event_id AS title,
+          -- 2026-02-08 00:00:00 UTC = 1770508800; +0000 offset makes the
+          -- instant session-tz-independent on both engines
+          1770508800 + (event_id % 24) * 3600 + (event_id % 60) * 60 + 33 AS ts_epoch,
+          CASE WHEN event_id % 4 = 2 THEN 'twitter-ytdl' ELSE 'twitter: success' END
+            AS status,
+          CASE event_id % 4
+            WHEN 0 THEN 'https://pbs.twimg.com/media/m' || event_id
+                        || '?name=orig|image/jpeg'
+            WHEN 1 THEN 'https://v.twimg.com/t' || event_id || '/1280x720/b.mp4|video/mp4'
+            WHEN 3 THEN 'https://v.twimg.com/g' || event_id || '/1.mp4|video/mp4'
+            ELSE '' END AS media_csv
+        FROM events
     """,
     "livestream_skip": """
         SELECT event_id, user_id, event_id % 6 = 0 AS is_live

@@ -71,3 +71,75 @@ def test_bluesky_embeds_incl_media_nesting(spark):
         base + "cidB&did=did:plc:abc",
         base + "cidV&did=did:plc:abc",
     ]
+
+
+# ---- X4 twitter ------------------------------------------------------------------
+
+
+def _tw(spark, doc: dict):
+    from auto_archiver_spark.operators.extractors import twitter_parse_cols
+
+    df = spark.createDataFrame([(json.dumps(doc),)], "j string")
+    return df.select(*twitter_parse_cols(F.col("j"))).collect()[0]
+
+
+def _vid(*variants):
+    return {
+        "type": "video",
+        "video_info": {"variants": [{"url": u, "content_type": ct} for u, ct in variants]},
+    }
+
+
+def test_twitter_choose_variant_fold(spark):
+    """generic_extractor/twitter.py:17-30 — sequential, OR-comparison fold."""
+    # biggest WxH mp4 wins regardless of order; non-mp4 never beats a pick
+    r = _tw(spark, {
+        "user": {"name": "A"}, "created_at": "Sun Feb 08 18:45:33 +0000 2026",
+        "full_text": "t", "entities": {"media": [_vid(
+            ("https://v.tw/a/320x180/a.mp4", "video/mp4"),
+            ("https://v.tw/pl/x.m3u8", "application/x-mpegURL"),
+            ("https://v.tw/a/1280x720/b.mp4", "video/mp4"),
+        )]},
+    })
+    assert [m.src for m in r.media] == ["https://v.tw/a/1280x720/b.mp4"]
+    assert r.title == "A - t" and r.status == "twitter: success"
+    assert str(r.ts) == "2026-02-08 18:45:33"
+
+    # the reference's OR quirk: (100x900) then (800x100) -> w=800>100 replaces
+    r = _tw(spark, {
+        "user": {"name": "A"}, "created_at": "Sun Feb 08 18:45:33 +0000 2026",
+        "full_text": "t", "entities": {"media": [_vid(
+            ("https://v.tw/a/100x900/a.mp4", "video/mp4"),
+            ("https://v.tw/a/800x100/b.mp4", "video/mp4"),
+        )]},
+    })
+    assert [m.src for m in r.media] == ["https://v.tw/a/800x100/b.mp4"]
+
+    # mp4 without parseable dims never replaces; lone non-mp4 is kept
+    r = _tw(spark, {
+        "user": {"name": "A"}, "created_at": "Sun Feb 08 18:45:33 +0000 2026",
+        "full_text": "t", "entities": {"media": [_vid(
+            ("https://v.tw/pl/x.m3u8", "application/x-mpegURL"),
+            ("https://v.tw/nodims/a.mp4", "video/mp4"),
+        )]},
+    })
+    assert [(m.src, m.mimetype) for m in r.media] == [
+        ("https://v.tw/pl/x.m3u8", "application/x-mpegURL")
+    ]
+
+
+def test_twitter_photo_gif_and_textonly(spark):
+    base = {"user": {"name": "Bo"}, "created_at": "Mon Mar 01 00:00:01 +0000 2027",
+            "full_text": "hi"}
+    r = _tw(spark, {**base, "entities": {"media": [
+        {"type": "photo", "media_url_https": "https://pbs.twimg.com/media/abc?name=small"},
+        _vid(("https://v.tw/g/1.mp4", "video/mp4"), ("https://v.tw/g/2.mp4", "video/mp4"))
+        | {"type": "animated_gif"},
+    ]}})
+    assert [(m.src, m.mimetype) for m in r.media] == [
+        ("https://pbs.twimg.com/media/abc?name=orig", "image/jpeg"),  # P8 rewrite (:149)
+        ("https://v.tw/g/1.mp4", "video/mp4"),  # gif takes variants[0] (:156-158)
+    ]
+    r = _tw(spark, {**base, "entities": {"media": []}})
+    assert r.status == "twitter-ytdl" and r.media == []  # :141-144
+    assert r.content == "hi"
