@@ -104,6 +104,19 @@ def dedup_in_wave(df: DataFrame) -> DataFrame:
     )
 
 
+def per_group_limit(
+    df: DataFrame, group_cols: list[str], n: int, order_cols: list[Column] | None = None
+) -> DataFrame:
+    """X12/O7 — the reference's ``--max-downloads`` / ``--playlist-end`` cap
+    (generic_extractor.py:586-589) and max-media-per-group, as a named
+    operator: keep the first ``n`` rows per group in a deterministic order
+    (default: crawl order O1). One shuffle on the group key; at scale the
+    window stays partition-local after it."""
+    order_cols = order_cols or crawl_order_cols()
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
 def bucket_of(url_hash: Column) -> Column:
     return F.pmod(url_hash, F.lit(N_BUCKETS))
 

@@ -41,6 +41,9 @@ class TableIO:
             return json.load(f)
 
     def _store_manifest(self, table: str, manifest: dict) -> None:
+        # a metadata-only first commit (commit_ref with no deletes) reaches
+        # here before any data write created the table dir
+        os.makedirs(self._tdir(table), exist_ok=True)
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -48,6 +51,22 @@ class TableIO:
 
     def exists(self, table: str) -> bool:
         return bool(self._load_manifest(table)["snapshots"])
+
+    def _next_id(self, table: str, manifest: dict) -> int:
+        """Monotonic snapshot id: above every manifest id AND every snap dir
+        still on disk — a rolled-back id whose dir was preserved (pinned by
+        another table's ref-snapshot) must never be reused, or the new commit
+        would overwrite data a live ref still reads."""
+        high = max((s["id"] for s in manifest["snapshots"]), default=0)
+        tdir = self._tdir(table)
+        if os.path.isdir(tdir):
+            for name in os.listdir(tdir):
+                if name.startswith("snap-"):
+                    try:
+                        high = max(high, int(name[5:10]))
+                    except ValueError:
+                        pass
+        return high + 1
 
     def _live_snapshots(self, table: str, upto_snapshot: int | None = None) -> list[dict]:
         """Snapshot entries visible at (or before) a snapshot: everything
@@ -73,7 +92,8 @@ class TableIO:
         snaps = self._live_snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"table {table} has no committed snapshots")
-        if all("ref" not in s for s in snaps):  # fast path: one multi-dir scan
+        if all("ref" not in s and s.get("fmt") != "csv" for s in snaps):
+            # fast path: one multi-dir parquet scan
             return spark.read.parquet(
                 *[os.path.join(self._tdir(table), s["dir"]) for s in snaps]
             )
@@ -105,7 +125,7 @@ class TableIO:
         ``options`` are extra per-write parquet options (e.g. a small
         ``parquet.block.size`` for wide-binary tables — see plans/wave.py)."""
         manifest = self._load_manifest(table)
-        next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
+        next_id = self._next_id(table, manifest)
         rel = f"snap-{next_id:05d}"
         writer = df.write.mode("overwrite")
         if compression:
@@ -114,6 +134,37 @@ class TableIO:
             writer = writer.option(k, v)
         writer.parquet(os.path.join(self._tdir(table), rel))
         manifest["snapshots"].append({"id": next_id, "dir": rel, "wave": wave, "mode": mode})
+        self._store_manifest(table, manifest)
+        return next_id
+
+    def commit_csv(self, df: DataFrame, table: str, wave: int, mode: str = "append") -> int:
+        """K1 — the reference's CSV "db" sink (modules/csv_db/csv_db.py:15-23):
+        results are *appended* to a CSV table and the header row is written
+        only when the file is empty (``is_empty`` check on open). Here the
+        append unit is a snapshot dir; the header lands in the first live
+        snapshot only, and the reader re-attaches it per-snapshot. Values are
+        strings, like DictWriter's output."""
+        manifest = self._load_manifest(table)
+        next_id = self._next_id(table, manifest)
+        was_empty = mode == "overwrite" or not self._live_snapshots(table)
+        rel = f"snap-{next_id:05d}"
+        out = df.select([df[c].cast("string").alias(c) for c in df.columns])
+        (
+            out.write.mode("overwrite")
+            .option("header", "true" if was_empty else "false")
+            .csv(os.path.join(self._tdir(table), rel))
+        )
+        manifest["snapshots"].append(
+            {
+                "id": next_id,
+                "dir": rel,
+                "wave": wave,
+                "mode": mode,
+                "fmt": "csv",
+                "header": was_empty,
+                "cols": list(df.columns),
+            }
+        )
         self._store_manifest(table, manifest)
         return next_id
 
@@ -144,7 +195,7 @@ class TableIO:
         src_manifest = self._load_manifest(src_table)
         src = next(s for s in src_manifest["snapshots"] if s["id"] == src_snapshot_id)
         manifest = self._load_manifest(table)
-        next_id = 1 + max((s["id"] for s in manifest["snapshots"]), default=0)
+        next_id = self._next_id(table, manifest)
         entry = {
             "id": next_id,
             "wave": wave,
@@ -164,7 +215,14 @@ class TableIO:
         return next_id
 
     def _snapshot_df(self, spark: SparkSession, table: str, snap: dict) -> DataFrame:
-        """DataFrame for one snapshot entry (plain dir or zero-copy ref)."""
+        """DataFrame for one snapshot entry (plain dir, csv dir, or ref)."""
+        if snap.get("fmt") == "csv":
+            schema = ", ".join(f"`{c}` string" for c in snap["cols"])
+            return (
+                spark.read.schema(schema)
+                .option("header", "true" if snap.get("header") else "false")
+                .csv(os.path.join(self._tdir(table), snap["dir"]))
+            )
         if "ref" in snap:
             base = spark.read.parquet(
                 os.path.join(self._tdir(snap["ref"]["table"]), snap["ref"]["dir"])
@@ -184,15 +242,35 @@ class TableIO:
             return base
         return spark.read.parquet(os.path.join(self._tdir(table), snap["dir"]))
 
+    def _inbound_ref_dirs(self, src_table: str) -> set[str]:
+        """Data dirs of ``src_table`` that some OTHER table's live ref-
+        snapshot still points at (zero-copy commit_ref targets). Dropping
+        these would dangle the referencing table's reads."""
+        pinned: set[str] = set()
+        if not os.path.isdir(self.root):
+            return pinned
+        for other in os.listdir(self.root):
+            if other == src_table or not os.path.isdir(os.path.join(self.root, other)):
+                continue
+            for s in self._live_snapshots(other):
+                ref = s.get("ref")
+                if ref and ref.get("table") == src_table:
+                    pinned.add(ref["dir"])
+        return pinned
+
     def rollback_to(self, table: str, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (manifest truncation;
-        orphan data dirs are deleted lazily)."""
+        orphan data dirs are deleted lazily). Dirs still referenced by live
+        zero-copy snapshots of OTHER tables are kept on disk — deleting them
+        would break those tables' reads (round-2 ADVICE); they become
+        ordinary orphans once the referencing snapshot itself is dropped."""
         manifest = self._load_manifest(table)
         keep = [s for s in manifest["snapshots"] if s["id"] <= snapshot_id]
         drop = [s for s in manifest["snapshots"] if s["id"] > snapshot_id]
         self._store_manifest(table, {"snapshots": keep})
+        pinned = self._inbound_ref_dirs(table) if drop else set()
         for s in drop:
-            if "dir" in s:
+            if "dir" in s and s["dir"] not in pinned:
                 shutil.rmtree(os.path.join(self._tdir(table), s["dir"]), ignore_errors=True)
             if "anti" in s:
                 shutil.rmtree(

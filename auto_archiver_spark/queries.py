@@ -638,6 +638,18 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_playlist_limit(spark, sf):
+    """X12 max-downloads / playlist-end cap (generic_extractor.py:586-589) as
+    the named per-group-limit operator: first 3 events per user in (ts,
+    event_id) order — the playlist analog of the reference's yt-dlp flags."""
+    from .operators.frontier import per_group_limit  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    return per_group_limit(
+        ev, ["user_id"], 3, [F.col("ts").asc(), F.col("event_id").asc()]
+    ).select("user_id", "event_id")
+
+
 def q_media_explode(spark, sf):
     """J4 media explode -> per-child process -> ordered re-collect
     (core/metadata.py:152-162, core/media.py:37-55): the round trip must
@@ -1112,6 +1124,7 @@ QUERIES = {
     "bluesky_embeds": q_bluesky_embeds,
     "twitter_parse": q_twitter_parse,
     "media_explode": q_media_explode,
+    "playlist_limit": q_playlist_limit,
     "livestream_skip": q_livestream_skip,
     "content_append": q_content_append,
     "html_render": q_html_render,
@@ -1458,6 +1471,12 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "playlist_limit": """
+        SELECT user_id, event_id FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events) WHERE rn <= 3
     """,
     "media_explode": """
         SELECT event_id,

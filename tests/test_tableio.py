@@ -65,3 +65,56 @@ def test_orphan_dir_invisible(spark, root):
     io.commit(spark.range(4).toDF("id"), "t", wave=0)
     os.makedirs(os.path.join(root, "t", "snap-00999"))
     assert io.read(spark, "t").count() == 4
+
+
+def test_csv_sink_header_iff_empty(spark, root):
+    """K1 CSV db (csv_db.py:15-23): header only on the first (empty-table)
+    commit; appends are headerless; read round-trips all rows as strings."""
+    from pyspark.sql import functions as F
+
+    io = TableIO(root)
+    df1 = spark.range(3).select(F.col("id").cast("string").alias("url"),
+                                F.lit("success").alias("status"))
+    df2 = spark.range(3, 5).select(F.col("id").cast("string").alias("url"),
+                                   F.lit("nothing archived").alias("status"))
+    io.commit_csv(df1, "csvdb", wave=0)
+    io.commit_csv(df2, "csvdb", wave=1)
+    m = io._load_manifest("csvdb")["snapshots"]
+    assert [s["header"] for s in m] == [True, False]
+    back = io.read(spark, "csvdb")
+    assert back.schema.simpleString() == "struct<url:string,status:string>"
+    assert sorted((r.url, r.status) for r in back.collect()) == sorted(
+        [(str(i), "success") for i in range(3)]
+        + [(str(i), "nothing archived") for i in (3, 4)]
+    )
+    # raw file check: header rows appear only in the header-snapshot's part
+    # files (one per part file — distributed-sink shape), never in appends
+    import glob
+    for f in glob.glob(os.path.join(root, "csvdb", "snap-*", "*.csv")):
+        with open(f) as fh:
+            has_header = any(line.strip() == "url,status" for line in fh)
+        assert has_header == ("snap-00001" in f), f
+    # overwrite resets: header returns
+    io.commit_csv(df2, "csvdb", wave=2, mode="overwrite")
+    assert io._load_manifest("csvdb")["snapshots"][-1]["header"] is True
+    assert io.read(spark, "csvdb").count() == 2
+
+
+def test_rollback_keeps_dirs_pinned_by_refs(spark, root):
+    """Round-2 ADVICE: rolling back a source table must not delete data dirs
+    a live ref-snapshot of ANOTHER table still points at."""
+    io = TableIO(root)
+    sid0 = io.commit(spark.range(4).toDF("id"), "src", wave=0)
+    sid1 = io.commit(spark.range(4, 9).toDF("id"), "src", wave=1)
+    io.commit_ref("view", "src", sid1, wave=1, where="id >= 6")
+    assert io.read(spark, "view").count() == 3
+    io.rollback_to("src", sid0)  # drops src snapshot 2 from src's manifest
+    assert io.read(spark, "src").count() == 4
+    # the ref-pinned dir survived -> the view still reads
+    assert io.read(spark, "view").count() == 3
+    # unpinned rollback still deletes: a fresh snapshot with no inbound ref
+    sid2 = io.commit(spark.range(9, 10).toDF("id"), "src", wave=2)
+    dir2 = os.path.join(root, "src", f"snap-{sid2:05d}")
+    assert os.path.isdir(dir2)
+    io.rollback_to("src", sid0)
+    assert not os.path.isdir(dir2)
