@@ -47,11 +47,29 @@ def cosine_topk(
 
 
 def train_centroids(
-    embeddings: DataFrame, n_centroids: int = 16, vec_col="embedding", sample: int = 2048
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col="embedding",
+    sample: int = 2048,
+    sample_fraction: float | None = None,
 ) -> np.ndarray:
     """Seeded centroid init + one Lloyd step on a bounded sample (driver-side
-    work is O(sample x dim), independent of table size)."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
+    work is O(sample x dim), independent of table size).
+
+    The sample is a seeded ``df.sample`` across ALL partitions — a bare
+    ``limit`` reads only the first partitions and biases the centroids
+    toward whatever happens to sort first (round-2 ADVICE). The fraction is
+    derived from a count when not given; at known table sizes pass it
+    explicitly to skip the count job."""
+    if sample_fraction is None:
+        n = embeddings.count()
+        sample_fraction = min(1.0, (sample * 1.5) / max(n, 1))
+    rows = (
+        embeddings.select(vec_col)
+        .sample(fraction=sample_fraction, seed=42)
+        .limit(sample)
+        .collect()
+    )
     X = np.array([r[0] for r in rows], dtype=np.float64)
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(42)
@@ -77,6 +95,43 @@ def assign_buckets(embeddings: DataFrame, centroids: np.ndarray, vec_col="embedd
         for i, c in enumerate(centroids)
     ]
     return embeddings.withColumn("ivf_bucket", F.array_max(F.array(*entries))["bucket"])
+
+
+def assign_buckets_cosine(
+    embeddings: DataFrame, centroids: list[list[float]], vec_col="embedding", round_to: int = 6
+) -> DataFrame:
+    """Cross-engine-deterministic IVF assignment: bucket = argmax of
+    round(cosine(v, c_i), round_to), ties broken by LOWEST centroid index.
+    Rounding + the index tie-break make the assignment reproducible in any
+    engine computing the same cosine (the DuckDB oracle for ``ivf_topk``),
+    while staying native Catalyst (struct-max over an unrolled array)."""
+    v = F.col(vec_col).cast("array<double>")
+    entries = [
+        F.struct(
+            F.round(cosine_expr(v, F.array(*[F.lit(float(x)) for x in c])), round_to)
+            .alias("score"),
+            F.lit(-i).alias("neg_bucket"),  # max() then prefers the LOWEST index
+        )
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*entries))
+    return embeddings.withColumn("ivf_bucket", (-best["neg_bucket"]).cast("int"))
+
+
+def probe_buckets_cosine(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int, round_to: int = 6
+) -> list[int]:
+    """Probe-set twin of ``assign_buckets_cosine``: nprobe buckets by
+    round(cosine(q, c_i), round_to) desc, index asc — same tie convention."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    scored = []
+    for i, c in enumerate(centroids):
+        cv = np.asarray(c, dtype=np.float64)
+        cos = float(np.dot(cv, q)) / (float(np.linalg.norm(cv)) * float(qn))
+        scored.append((round(cos, round_to), -i))
+    scored.sort(reverse=True)
+    return [-nb for _, nb in scored[:nprobe]]
 
 
 def _probe_buckets(centroids: np.ndarray, query_vec: list[float], nprobe: int) -> list[int]:

@@ -72,6 +72,9 @@ def q_frontier_anti_join(spark, sf):
 
 def q_seen_set_except(spark, sf):
     """§2.7 set difference at (user, day) grain: purchase-days EXCEPT error-days."""
+    # date_trunc on a timestamp uses the session tz; pin UTC so the result
+    # is harness-session-independent (DuckDB truncates the naive value)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     a = ev.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
@@ -878,17 +881,29 @@ def q_dedup_components(spark, sf):
 
 
 def q_ivf_topk(spark, sf):
-    """IVF-style ANN (scale path of cosine_topk): seeded centroids, bucket
-    assignment, nprobe-bucket scan. Approximate by construction -> rows-only
-    driver check; recall vs the exact baseline asserted in pytest
+    """IVF-style ANN (scale path of cosine_topk), now with a full DuckDB
+    oracle: centroids are the embedding vectors of vec_id 1..8 (derivable by
+    both engines), assignment/probing use rounded-cosine argmax with a
+    lowest-index tie-break (assign_buckets_cosine), and the final top-k uses
+    the cosine_topk ordering convention. nprobe=3 of 8 buckets — genuinely
+    approximate (the oracle replicates the same probe algebra, not a full
+    scan). The kmeans-trained perf path keeps its recall pytest
     (tests/test_similarity.py)."""
-    from .operators.similarity import assign_buckets, ivf_topk, train_centroids  # noqa: PLC0415
+    from .operators.similarity import (  # noqa: PLC0415
+        assign_buckets_cosine,
+        cosine_topk,
+        probe_buckets_cosine,
+    )
 
     emb = load(spark, sf, "embeddings")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0])
-    cents = train_centroids(emb, n_centroids=16)
-    bucketed = assign_buckets(emb, cents)
-    return ivf_topk(bucketed, cents, qvec, k=10, nprobe=4)
+    cent_rows = emb.filter(F.col("vec_id").between(1, 8)).select(
+        "vec_id", "embedding"
+    ).collect()
+    cents = [list(r.embedding) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    bucketed = assign_buckets_cosine(emb, cents)
+    probe = probe_buckets_cosine(cents, qvec, nprobe=3)
+    return cosine_topk(bucketed.filter(F.col("ivf_bucket").isin(probe)), qvec, k=10)
 
 
 # --- round-2 operators: writeback, routing, deletion, metadata scalars -------------
@@ -1545,7 +1560,27 @@ ORACLE = {
         WHERE source_url != '' AND NOT processed AND visibility = 'visible'
           AND status NOT IN ('processing', 'pending')
     """,
-    # ivf_topk: approximate by construction -> rows-only (recall in pytest)
+    "ivf_topk": """
+        WITH cent AS (
+          SELECT (vec_id - 1)::INT AS bucket, embedding::DOUBLE[] AS c
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 8),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        assign AS (
+          SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.bucket,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c), 6)
+                     DESC, c.bucket ASC) AS rn
+          FROM embeddings e CROSS JOIN cent c),
+        bucketed AS (SELECT vec_id, v, bucket FROM assign WHERE rn = 1),
+        probe AS (
+          SELECT c.bucket FROM cent c, q
+          ORDER BY round(list_cosine_similarity(c.c, q.qv), 6) DESC, c.bucket ASC
+          LIMIT 3)
+        SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cos
+        FROM bucketed b JOIN probe p ON b.bucket = p.bucket, q
+        ORDER BY round(list_cosine_similarity(b.v, q.qv), 6) DESC, b.vec_id ASC
+        LIMIT 10
+    """,
     "phash_pairs": """
         WITH h AS (SELECT doc_id AS id,
             xor((('0x' || substr(md5('g' || (doc_id // 5)), 1, 15))::BIGINT),

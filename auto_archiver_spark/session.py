@@ -45,5 +45,10 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "128")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # gate queries that *depend* on either value also pin it themselves
+        # (lazy plans execute after the query fn returns, so save/restore
+        # around the body can't work — per-query pinning is the deterministic
+        # alternative; see q_metadata_merge / q_timestamp_format)
+        .config("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
         .getOrCreate()
     )

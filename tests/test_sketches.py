@@ -108,3 +108,34 @@ def test_exact_content_dedup_on_fixture(spark):
     # the exact duplicate img_96 is dropped, its source 95 kept
     ids = {r.image_id for r in deduped.select("image_id").collect()}
     assert "img_00000095" in ids and "img_00000096" not in ids
+
+
+def test_ngram_jaccard_shuffle_path_matches_broadcast(docs):
+    """VERDICT r2 #7: the over-threshold (no-broadcast) path must produce the
+    same verified pairs as the broadcast fast path."""
+    from auto_archiver_spark.operators.dedup import ngram_jaccard
+
+    cands = minhash_lsh_candidates(docs).localCheckpoint()
+    bc = {(r.id_a, r.id_b, round(r.jaccard, 9))
+          for r in ngram_jaccard(docs, cands, broadcast_pairs=True).collect()}
+    sh = {(r.id_a, r.id_b, round(r.jaccard, 9))
+          for r in ngram_jaccard(docs, cands, broadcast_pairs=False).collect()}
+    assert bc == sh and len(bc) > 0
+    # the shuffle path carries no broadcast hint in its analyzed plan
+    plan = ngram_jaccard(docs, cands, broadcast_pairs=False)._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in plan.lower()
+
+
+def test_capped_bucket_cluster_consumption(spark):
+    """ADVICE r2: over-cap buckets star-sample, so cluster membership must be
+    read via connected components on UNVERIFIED candidates — every member of
+    a 12-identical-doc clique lands in ONE component even with bucket_cap=4."""
+    from auto_archiver_spark.operators.dedup import minhash_dedup_clusters
+
+    text = "identical boilerplate page footer about cookies privacy terms contact us"
+    rows = [(i, text) for i in range(12)] + [(50, "something else entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = {r.id: r.component
+            for r in minhash_dedup_clusters(df, bucket_cap=4).collect()}
+    assert {comp[i] for i in range(12)} == {0}  # one cluster, rep = min id
+    assert 50 not in comp  # no candidate edges for the singleton
