@@ -66,14 +66,27 @@ def writeback_merge(
 
 STATE_COLS = ["date", "title", "hash", "pdq"]  # gsheet result cells we model
 
+# row-bucket partitioning of the seed-state table: each wave rewrites only
+# the buckets its results touch (TableIO.commit_replace), so the writeback
+# commit is O(wave), not O(seed) — at 10^10 seed rows a full-table rewrite
+# per wave would dominate the whole job (round-2 VERDICT #5). Iceberg analog:
+# MERGE INTO over a bucket(sheet,row_idx)-partitioned table.
+WB_BUCKETS = 64
+
+
+def wb_bucket_expr():
+    """Deterministic row bucket from the writeback key (sheet, row_idx)."""
+    return F.pmod(F.xxhash64("sheet", "row_idx"), F.lit(WB_BUCKETS)).cast("int")
+
 
 def init_seed_state(seed: DataFrame) -> DataFrame:
     """Wave-0 seed-state: the feeder columns plus blank result cells
-    (a fresh worksheet has the header but empty archive columns)."""
+    (a fresh worksheet has the header but empty archive columns), bucketed
+    for partition-replace writeback."""
     out = seed
     for c in STATE_COLS:
         out = out.withColumn(c, F.lit("").cast("string"))
-    return out
+    return out.withColumn("wb_bucket", wb_bucket_expr())
 
 
 def wave_writeback(seed_state: DataFrame, results: DataFrame) -> DataFrame:

@@ -93,7 +93,12 @@ def run_crawl(
         )
         io.commit(frontier, "frontier", wave=0, mode="overwrite")
         if config.writeback:
-            io.commit(init_seed_state(seed), "seed_state", wave=0, mode="overwrite")
+            # bucket-partitioned base so later replace-commits and bucket-
+            # filtered reads prune at the directory level
+            io.commit(
+                init_seed_state(seed), "seed_state", wave=0, mode="overwrite",
+                partition_by="wb_bucket",
+            )
     else:
         frontier = io.read(spark, "frontier")
 
@@ -217,11 +222,26 @@ def run_crawl(
         if config.writeback:
             # J3/K4: MERGE this wave's results into the seed-state table
             # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
-            # real deployment, snapshot-rewrite on the TableIO fallback
-            seed_state = io.read(spark, "seed_state")
-            snap_ids["seed_state"] = io.commit(
-                wave_writeback(seed_state, results), "seed_state", wave, mode="overwrite"
+            # real deployment. The commit is partition-replace: only the row
+            # buckets this wave's results touch are re-read, merged and
+            # rewritten — O(wave) files per wave, not O(seed) (VERDICT r2 #5)
+            from ..operators.writeback import wb_bucket_expr  # noqa: PLC0415
+
+            touched = sorted(
+                r[0]
+                for r in results.select(wb_bucket_expr().alias("b")).distinct().collect()
             )
+            if touched:
+                seed_sub = io.read(spark, "seed_state").filter(
+                    F.col("wb_bucket").isin(touched)
+                )
+                snap_ids["seed_state"] = io.commit_replace(
+                    wave_writeback(seed_sub, results),
+                    "seed_state",
+                    wave,
+                    part_col="wb_bucket",
+                    parts=touched,
+                )
         mark("results_commit")
         newly_seen = admitted.select(
             "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")

@@ -50,11 +50,11 @@ def test_kill_and_resume_equals_uninterrupted(spark):
         io_b2, _, s2 = _run(spark, root_b)  # resume
         assert s2[0].wave == 1
 
-        for table in ("images", "archive_results", "url_seen", "metrics"):
+        for table in ("images", "archive_results", "url_seen", "metrics", "seed_state"):
             drop = ("processed_at", "ts", "seconds", "lineage_partition") if table in (
                 "archive_results",
                 "metrics",
-            ) else ()
+            ) else (("date",) if table == "seed_state" else ())  # date = wall clock
             assert _table_fingerprint(spark, io_a, table, drop) == _table_fingerprint(
                 spark, io_b2, table, drop
             ), f"table {table} differs after resume"
