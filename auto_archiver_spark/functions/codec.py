@@ -164,6 +164,58 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+# ---- PDQ-256 (spec-following, pure numpy) -----------------------------------------
+
+_PDQ_DCT: np.ndarray | None = None
+
+
+def _pdq_dct_matrix() -> np.ndarray:
+    """16x64 DCT-II basis over output frequencies 1..16 — PDQ keeps the 16x16
+    low-frequency block EXCLUDING the DC row/column (the published PDQ spec,
+    Facebook ThreatExchange 'TMK+PDQF' paper §PDQ)."""
+    global _PDQ_DCT
+    if _PDQ_DCT is None:
+        i = np.arange(1, 17, dtype=np.float64)[:, None]
+        n = np.arange(64, dtype=np.float64)[None, :]
+        _PDQ_DCT = np.sqrt(2.0 / 64.0) * np.cos((np.pi / (2.0 * 64.0)) * i * (2.0 * n + 1.0))
+    return _PDQ_DCT
+
+
+def pdq256(pixels: np.ndarray) -> tuple[str, int]:
+    """256-bit PDQ-style perceptual hash + quality, following the published
+    algorithm (reference consumes it via the pdqhash lib,
+    modules/pdq_hash_enricher/pdq_hash_enricher.py:48-62):
+
+      luminance (REC.601) -> 64x64 low-pass downsample -> 16x16 DCT-II block
+      at frequencies 1..16 -> median threshold -> 256 bits (row-major,
+      MSB-first); quality = % of downsample gradients above threshold.
+
+    Declared deviation (no pdqhash in-sandbox to verify bit parity): the
+    downsample is the deterministic area-mean kernel instead of the spec's
+    two-pass Jarosz tent filter — both are low-pass; the DCT/median/bit
+    pipeline is the spec's. Returns (64-char hex, quality 0..100).
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    buf = _area_mean_resize(gray, 64, 64)
+    m = _pdq_dct_matrix()
+    d = m @ buf @ m.T  # 16x16
+    med = np.median(d)
+    bits = (d > med).ravel()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # quality: fraction of strong gradients in the 64x64 buffer (PDQ's
+    # "how much structure survived the downsample" signal)
+    gx = np.abs(np.diff(buf, axis=1)) >= 2.0
+    gy = np.abs(np.diff(buf, axis=0)) >= 2.0
+    quality = int(min(100, round(100.0 * (gx.mean() + gy.mean()) / 2.0 * 4.0)))
+    return f"{val:064x}", quality
+
+
+def hamming256(hex_a: str, hex_b: str) -> int:
+    return bin(int(hex_a, 16) ^ int(hex_b, 16)).count("1")
+
+
 def thumbnail(pixels: np.ndarray, max_side: int = 64) -> np.ndarray:
     """Thumbnail via area-mean resize, preserving aspect (F4 analog:
     reference thumbnail_enricher.py:53-73 uses ffmpeg scale 512:-1)."""

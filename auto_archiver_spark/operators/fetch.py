@@ -14,7 +14,9 @@ embedded in its path — semantics preserved from the reference chain:
   * X1 download (extractor.py:74-122)  -> fixture bytes per URL
   * F1 SHA-256 "SHA-256:<hex>" (hash_enricher.py:24-42) -> native sha2 AFTER
     the UDF (JVM-side, vectorized)
-  * F3 perceptual hash (pdq_hash_enricher.py:48-62) -> dHash-64 in-UDF
+  * F3 perceptual hash (pdq_hash_enricher.py:48-62) -> dHash-64 int64 key
+    (phash column, partition/dedup-friendly) + spec-following PDQ-256 hex
+    in media props["pdq256"] (functions/codec.py pdq256)
   * F4 thumbnail (thumbnail_enricher.py:53-73) -> area-mean resize in-UDF
   * meta enricher byte totals (meta_enricher.py:24-37) -> native length()
 
@@ -33,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_image, dhash64, png_encode, thumbnail
+from ..functions.codec import decode_image, dhash64, pdq256, png_encode, thumbnail
 from ..sources.fixture import image_record
 
 _ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
@@ -41,7 +43,7 @@ _ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
 FETCH_RESULT_SCHEMA = (
     "sheet string, row_idx long, url string, url_norm string, url_hash long, host string, "
     "folder string, status string, image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash long, thumb binary, politeness_ms long"
+    "caption string, phash long, pdq string, thumb binary, politeness_ms long"
 )
 
 
@@ -77,6 +79,7 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "fmt": None,
                         "caption": None,
                         "phash": None,
+                        "pdq": None,
                         "thumb": None,
                     }
                 )
@@ -94,6 +97,7 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "fmt": rec["fmt"],
                     "caption": rec["caption"],
                     "phash": dhash64(px),
+                    "pdq": pdq256(px)[0],
                     "thumb": png_encode(thumbnail(px)),
                 }
             )
@@ -141,7 +145,9 @@ def to_archive_results(fetched: DataFrame, wave: int) -> DataFrame:
                 F.col("phash").alias("phash"),
                 F.col("total_bytes").alias("bytes"),
                 F.array(F.col("url")).alias("urls"),
-                F.create_map(F.lit("caption"), F.col("caption")).alias("props"),
+                F.create_map(
+                    F.lit("caption"), F.col("caption"), F.lit("pdq256"), F.col("pdq")
+                ).alias("props"),
             )
         ),
     ).otherwise(F.array().cast(f"array<{MEDIA_STRUCT}>"))

@@ -7,8 +7,8 @@ only by a non-empty status (metadata.py:52-55 via :95-96). choose_most_complete
 (metadata.py:221-235) = argmax by (len(media), len(metadata)).
 
 Spark mapping: one shuffle (groupBy url_hash) with native aggregations only —
-map later-wins conflict via ``map_concat`` under
-``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set in session.py), ordered media
+map later-wins conflict via ``map_zip_with`` + ``map_contains_key`` (policy-
+independent: no reliance on the session's mapKeyDedupPolicy), ordered media
 concat via sort-then-flatten, status via max_by over (non-emptiness, order).
 """
 
@@ -61,7 +61,14 @@ def merge_extractor_results(df: DataFrame, order_col: str = "attempt") -> DataFr
                 lambda s: s["md"],
             ),
             F.create_map().cast("map<string,string>"),
-            lambda acc, m: F.map_concat(acc, m),  # LAST_WIN -> later overwrites
+            # later-wins overwrite WITHOUT depending on the session's
+            # mapKeyDedupPolicy (round-2 ADVICE: no ambient-config reliance):
+            # keys union via map_zip_with; a key present in the later map
+            # takes its value (even an explicit null), else keeps the old
+            lambda acc, m: F.map_zip_with(
+                acc, m,
+                lambda k, v1, v2: F.when(F.map_contains_key(m, k), v2).otherwise(v1),
+            ),
         ).alias("metadata"),
     )
     return merged

@@ -210,10 +210,8 @@ def q_metadata_merge(spark, sf):
     harness."""
     from .operators.merge import merge_extractor_results  # noqa: PLC0415
 
-    # A4's scalar-overwrite rule is expressed via map_concat, whose duplicate-
-    # key behavior is session-config-dependent; pin it here so the query is
-    # correct under ANY harness session, not just session.py's
-    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # the A4 scalar-overwrite rule is policy-independent since round 3
+    # (map_zip_with in operators/merge.py) — no session-config pin needed
     ev = load(spark, sf, "events")
     eid = F.col("event_id")
     es = eid.cast("string")
@@ -407,6 +405,81 @@ def q_simhash_buckets(spark, sf):
     """SimHash-64 signatures + 16-bit block bucket keys over documents."""
     d = load(spark, sf, "documents")
     return simhash_buckets(d).select("id", "simhash", "block", "val")
+
+
+def _md5_int60(col):
+    """Portable 60-bit int from md5 (identical on Spark & DuckDB — see
+    oracle-gate conventions): conv(substr(md5,1,15),16,10) as long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def q_simhash_portable(spark, sf):
+    """SimHash bit-vote algebra, cross-engine hash-verified: per doc, tokens
+    are hashed with the portable md5-prefix int60; each of 60 bit positions
+    sums votes (+1 if the token hash has the bit set, else -1); signature
+    bit j = vote_j >= 0. This proves the exact SimHash construction the
+    production operator (operators/dedup.py simhash_buckets /
+    functions/hashing.py) runs with xxhash64 — same algebra, engine-portable
+    hash (the xxhash64 entry stays rows-only: DuckDB lacks xxhash64).
+
+    One pass over the token array: the vote vector is a 60-long array
+    accumulator (aggregate + zip_with); bit tests unroll to literal shifts
+    (Spark requires literal shift amounts)."""
+    d = load(spark, sf, "documents")
+    tokens = F.split(F.trim("text"), r"\s+")
+    hashes = F.transform(tokens, _md5_int60)
+
+    def bits_of(h):
+        return F.array(
+            *[
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1).cast("long"))
+                for j in range(60)
+            ]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 60),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + 2 * b - 1),
+    )
+    sig = None
+    for j in range(60):
+        term = F.when(
+            F.element_at(F.col("_votes"), j + 1) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return (
+        d.select("doc_id", votes.alias("_votes"))
+        .select("doc_id", sig.alias("simhash60"))
+    )
+
+
+# deterministic affine-permutation constants for the portable MinHash entry
+_MH_PERMS = [((i * 2654435761 + 1) % 2147483647, (i * 97531 + 12345) % 2147483647)
+             for i in range(16)]
+_MH_P = 1_000_000_007
+_MH_M = 2147483647
+
+
+def q_minhash_signature(spark, sf):
+    """MinHash signature algebra, cross-engine hash-verified: 3-word shingles
+    -> portable md5-int60 -> mod 2^31-ish -> 16 affine permutations
+    (a_i*h+b_i mod p) -> per-permutation minimum. Proves the signature
+    construction the production LSH (functions/hashing.py
+    minhash_band_keys_udf) computes with xxhash64+numpy — same algebra,
+    engine-portable hash. Banding/bucketing above the signature is plain
+    grouping, already exercised by the rows-only minhash_lsh entry."""
+    d = load(spark, sf, "documents")
+    sh = word_ngrams_expr(F.col("text"), 3)
+    hm = F.transform(sh, lambda s: _md5_int60(s) % F.lit(_MH_M))
+    def perm(a, b):  # closure factory: the HOF lambda must stay unary
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)
+
+    mins = [F.array_min(F.transform(hm, perm(a, b))) for a, b in _MH_PERMS]
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", *[m.cast("string") for m in mins]).alias("sig_csv"),
+    )
 
 
 # --- scalar-function tier (F9-F13, O4-O6, A8, A9, J2, §2.7 set ops) ---------------
@@ -1135,6 +1208,8 @@ QUERIES = {
     "embedding_neighbors": q_embedding_neighbors,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
+    "simhash_portable": q_simhash_portable,
+    "minhash_signature": q_minhash_signature,
     "telegram_parse": q_telegram_parse,
     "bluesky_embeds": q_bluesky_embeds,
     "twitter_parse": q_twitter_parse,
@@ -1447,9 +1522,41 @@ ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
     """,
-    # minhash_lsh / simhash_buckets: md5-derived 64-bit sketch arithmetic is not
-    # expressible in portable SQL -> rows-only driver check; exact-value pytest
-    # coverage lives in tests/test_sketches.py.
+    # minhash_lsh / simhash_buckets (xxhash64-based): rows-only driver check
+    # (DuckDB lacks xxhash64); the same sketch ALGEBRA is hash-verified by the
+    # md5-portable twins simhash_portable / minhash_signature below, and
+    # exact-value pytest coverage lives in tests/test_sketches.py.
+    "simhash_portable": """
+        WITH t AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+        v AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+              FROM h CROSS JOIN generate_series(0, 59) AS g(j)
+              GROUP BY doc_id, j)
+        SELECT doc_id,
+               sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+                 AS simhash60
+        FROM v GROUP BY doc_id
+    """,
+    "minhash_signature": f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents),
+        s AS (SELECT doc_id,
+                CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                     ELSE [array_to_string(words[i:i+2], ' ')
+                           for i in generate_series(1, len(words) - 2)] END AS sh
+              FROM w),
+        hm AS (SELECT doc_id,
+                 list_transform(sh,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_M}) AS hs
+               FROM s)
+        SELECT doc_id,
+          concat_ws(',', {", ".join(
+            f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {_MH_P}))"
+            for a, b in _MH_PERMS)}) AS sig_csv
+        FROM hm
+    """,
     "telegram_parse": """
         SELECT event_id,
           CASE event_id % 3 WHEN 0 THEN '2024-01-01T00:00:00+00:00'

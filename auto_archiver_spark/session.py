@@ -29,9 +29,6 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # A4 merge semantics: scalar map keys overwrite later-wins
-        # (reference core/metadata.py:47-60) via map_concat
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # image bytes make rows heavy: cap Arrow batches so a fetch/enrich
         # batch of 512x384 RGB rows stays well under executor memory
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")

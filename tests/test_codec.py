@@ -79,3 +79,40 @@ def test_fixture_duplicate_structure():
 def test_fixture_determinism():
     r1, r2 = FX.image_record(42), FX.image_record(42)
     assert r1 == r2
+
+
+def test_pdq256_properties():
+    """Spec-following PDQ-256 (F3 upgrade): balanced bits (median threshold),
+    locality under small perturbation, distance across distinct images,
+    robustness to uniform brightness shift (DCT AC coefficients are
+    brightness-invariant; the median moves with them)."""
+    import numpy as np
+
+    from auto_archiver_spark.functions.codec import hamming256, pdq256
+
+    rng = np.random.default_rng(7)
+    # structured image: gradient + blocks (not pure noise)
+    base = np.zeros((120, 160, 3), dtype=np.uint8)
+    base[:, :, 0] = np.linspace(0, 255, 160, dtype=np.uint8)[None, :]
+    base[30:90, 40:120, 1] = 200
+    base[:, :, 2] = np.linspace(255, 0, 120, dtype=np.uint8)[:, None]
+
+    h0, q0 = pdq256(base)
+    assert len(h0) == 64 and 0 <= q0 <= 100
+    # median threshold -> balanced bit population
+    ones = bin(int(h0, 16)).count("1")
+    assert 100 <= ones <= 156
+    # deterministic
+    assert pdq256(base)[0] == h0
+    # tiny noise -> small hamming distance
+    noisy = np.clip(base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255
+                    ).astype(np.uint8)
+    assert hamming256(h0, pdq256(noisy)[0]) <= 24
+    # uniform brightness shift -> near-identical hash
+    bright = np.clip(base.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    assert hamming256(h0, pdq256(bright)[0]) <= 24
+    # a different structured image -> distance near 128
+    other = np.zeros_like(base)
+    other[:, :, 1] = np.linspace(0, 255, 160, dtype=np.uint8)[None, ::-1]
+    other[10:60, 10:60, 0] = 255
+    assert hamming256(h0, pdq256(other)[0]) >= 60
