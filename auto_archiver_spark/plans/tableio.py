@@ -148,6 +148,19 @@ class TableIO:
         for k, v in (options or {}).items():
             writer = writer.option(k, v)
         if partition_by:
+            # cluster rows by the partition column first: otherwise every
+            # write task opens a file per partition value it sees
+            # (tasks x partitions tiny files — measured 17x slowdown of the
+            # wave-0 seed_state commit + every later read of it)
+            from pyspark.sql import functions as F  # noqa: PLC0415
+
+            writer = (
+                df.repartition(F.col(partition_by)).write.mode("overwrite")
+            )
+            if compression:
+                writer = writer.option("compression", compression)
+            for k, v in (options or {}).items():
+                writer = writer.option(k, v)
             writer = writer.partitionBy(partition_by)
         writer.parquet(os.path.join(self._tdir(table), rel))
         entry = {"id": next_id, "dir": rel, "wave": wave, "mode": mode}

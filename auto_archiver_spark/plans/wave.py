@@ -219,6 +219,11 @@ def run_crawl(
         )
         mark("images_commit")
         snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
+        # downstream consumers (writeback x2 jobs, lineage) re-read the
+        # committed snapshot instead of re-running the to_archive_results
+        # chain over fetch_out once per job; the wave filter prunes to this
+        # wave's row group via parquet predicate pushdown
+        results = io.read(spark, "archive_results").filter(F.col("wave") == wave)
         if config.writeback:
             # J3/K4: MERGE this wave's results into the seed-state table
             # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
