@@ -714,6 +714,56 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_atlos_payload(spark, sf):
+    """K8 Atlos done/failed update documents (atlos_feeder_db_storage.py:
+    65-105): nested JSON payload per row holding an atlos_id; success rows
+    carry ISO-formatted results, error rows carry the reason; id-less rows
+    are skipped. Runs the real operator; the oracle rebuilds the JSON via
+    struct_pack (to_json output shapes match across engines)."""
+    from .operators.atlos import atlos_done_payload, iso_ts  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # iso_ts formatting
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    rows = ev.select(
+        eid.alias("event_id"),
+        F.when(F.pmod(eid, F.lit(5)) != 0, F.concat(F.lit("am-"), eid.cast("string")))
+        .otherwise(F.lit("")).alias("atlos_id"),
+        F.when(F.pmod(eid, F.lit(3)) != 0, "success").otherwise(F.lit("nothing archived"))
+        .alias("status"),
+        F.concat(F.lit("https://atlos.example/m/"), eid.cast("string")).alias("url"),
+        iso_ts(F.col("ts")).alias("archived_at"),
+        F.concat(F.lit("err-"), F.pmod(eid, F.lit(7)).cast("string")).alias("error"),
+    )
+    out = atlos_done_payload(rows, result_cols=["url", "archived_at"])
+    # re-attach event_id for a stable key in the harness compare
+    return rows.select("event_id", "atlos_id").join(out, "atlos_id").select(
+        "event_id", "atlos_id", "payload"
+    )
+
+
+def q_atlos_upload_dedup(spark, sf):
+    """K8 Atlos upload dedup (atlos_feeder_db_storage.py:122-128): upload
+    only media whose sha256 is not already among the material's artifacts —
+    per-(atlos_id, sha256) anti-join."""
+    from .operators.atlos import atlos_upload_plan  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    media = ev.select(
+        eid.alias("event_id"),
+        F.concat(F.lit("am-"), F.pmod(eid, F.lit(100)).cast("string")).alias("atlos_id"),
+        F.md5(F.pmod(eid, F.lit(40)).cast("string")).alias("sha256"),
+    )
+    # bounded existing-artifact set so the anti-join output is non-trivial
+    # at every sf (an unbounded modulus cover degenerates to 0 rows)
+    existing = ev.filter((F.pmod(eid, F.lit(3)) == 0) & (eid < 300)).select(
+        F.concat(F.lit("am-"), F.pmod(eid, F.lit(100)).cast("string")).alias("atlos_id"),
+        F.md5(F.pmod(eid, F.lit(40)).cast("string")).alias("sha256"),
+    )
+    return atlos_upload_plan(media, existing).select("event_id", "atlos_id", "sha256")
+
+
 def q_playlist_limit(spark, sf):
     """X12 max-downloads / playlist-end cap (generic_extractor.py:586-589) as
     the named per-group-limit operator: first 3 events per user in (ts,
@@ -1215,6 +1265,8 @@ QUERIES = {
     "twitter_parse": q_twitter_parse,
     "media_explode": q_media_explode,
     "playlist_limit": q_playlist_limit,
+    "atlos_payload": q_atlos_payload,
+    "atlos_upload_dedup": q_atlos_upload_dedup,
     "livestream_skip": q_livestream_skip,
     "content_append": q_content_append,
     "html_render": q_html_render,
@@ -1593,6 +1645,34 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "atlos_payload": """
+        WITH r AS (SELECT event_id,
+            CASE WHEN event_id % 5 != 0 THEN 'am-' || event_id ELSE '' END AS atlos_id,
+            event_id % 3 != 0 AS ok,
+            'https://atlos.example/m/' || event_id AS url,
+            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS archived_at,
+            'err-' || (event_id % 7) AS error
+          FROM events)
+        SELECT event_id, atlos_id,
+          CASE WHEN ok THEN to_json(struct_pack(metadata := struct_pack(
+                 processed := true, status := 'success',
+                 results := struct_pack(url := url, archived_at := archived_at))))
+               ELSE to_json(struct_pack(metadata := struct_pack(
+                 processed := true, status := 'error', error := error)))
+          END AS payload
+        FROM r WHERE atlos_id != ''
+    """,
+    "atlos_upload_dedup": """
+        SELECT e.event_id,
+               'am-' || (e.event_id % 100) AS atlos_id,
+               md5((e.event_id % 40)::VARCHAR) AS sha256
+        FROM events e
+        WHERE NOT EXISTS (
+          SELECT 1 FROM events x
+          WHERE x.event_id % 3 = 0 AND x.event_id < 300
+            AND x.event_id % 100 = e.event_id % 100
+            AND x.event_id % 40 = e.event_id % 40)
     """,
     "playlist_limit": """
         SELECT user_id, event_id FROM (
