@@ -1,4 +1,4 @@
-"""Platform extractor parse kernels — the network-free halves of X5/X6.
+"""Platform extractor parse kernels — the network-free halves of X4/X5/X6/X10.
 
 The reference's platform extractors mix transport (requests/yt-dlp — out of
 scope in a sandboxed engine) with *parsing*, which is pure text/JSON algebra
@@ -12,6 +12,11 @@ and ports exactly:
   ``record.text``, timestamp = ``record.createdAt``; embeds are images XOR a
   video (both also possible under ``embed.media``), each resolved to the
   ``getBlob?cid={$link}&did={author.did}`` URL template.
+* X4 Twitter (modules/generic_extractor/twitter.py): fxtwitter-normalized
+  tweet JSON -> author/title/timestamp + per-media (src, mimetype) with the
+  sequential best-variant fold and the P8 photo rewrite.
+* X10 Wayback SPN (modules/wayback_extractor_enricher): submit payload and
+  the status-poll decision surface (success/pending/blocked/failed cells).
 
 Everything here is native Catalyst (regexp over HTML, from_json over the
 post document) — the fetch UDF plugs these in per route (P4 routing).
@@ -269,4 +274,65 @@ def twitter_parse_cols(post_json: Column) -> list[Column]:
         ts.alias("ts"),
         status.alias("status"),
         media_out.alias("media"),
+    ]
+
+
+# ---- X10: Wayback SPN submit/status ------------------------------------------------
+
+WAYBACK_STATUS_SCHEMA = StructType(
+    [
+        StructField("status", StringType()),
+        StructField("status_ext", StringType()),
+        StructField("timestamp", StringType()),
+        StructField("original_url", StringType()),
+        StructField("job_id", StringType()),
+    ]
+)
+
+_WB = "https://web.archive.org"
+
+
+def wayback_submit_payload(url: Column, if_not_archived_within: Column | None = None) -> Column:
+    """The /save POST form body (wayback_extractor_enricher.py:43-49):
+    ``url`` always; ``if_not_archived_within`` only when configured."""
+    base = F.create_map(F.lit("url"), url)
+    if if_not_archived_within is None:
+        return base
+    return F.when(
+        if_not_archived_within.isNull(), base
+    ).otherwise(
+        F.map_concat(
+            base, F.create_map(F.lit("if_not_archived_within"), if_not_archived_within)
+        )
+    )
+
+
+def wayback_status_cols(status_json: Column, url: Column) -> list[Column]:
+    """Decision surface of the SPN status poll
+    (wayback_extractor_enricher.py:83-110):
+
+    * ``status == "success"`` -> wayback cell =
+      ``https://web.archive.org/web/{timestamp}/{original_url}``;
+    * ``status == "pending"`` -> cell = the ``/save/status/{job_id}`` check
+      URL (the batch analog of "timeout reached, enrich the job_id");
+    * blocked/unauthorized ``status_ext`` -> cell = the status_ext (:96-98);
+    * any other failure -> cell = "failed";
+    plus the ``check wayback`` column ``/web/*/{url}`` every row gets (:109).
+    """
+    s = F.from_json(status_json, WAYBACK_STATUS_SCHEMA)
+    success_url = F.concat(
+        F.lit(_WB + "/web/"), s["timestamp"], F.lit("/"), s["original_url"]
+    )
+    check_status = F.concat(F.lit(_WB + "/save/status/"), s["job_id"])
+    blocked = s["status_ext"].isin("error:blocked-url", "error:unauthorized")
+    cell = (
+        F.when(s["status"] == "success", success_url)
+        .when(s["status"] == "pending", check_status)
+        .when(blocked, s["status_ext"])
+        .otherwise(F.lit("failed"))
+    )
+    return [
+        cell.alias("wayback"),
+        F.concat(F.lit(_WB + "/web/*/"), url).alias("check_wayback"),
+        (s["status"] == "success").alias("ok"),
     ]

@@ -714,6 +714,43 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_wayback_status(spark, sf):
+    """X10 Wayback SPN status decision surface
+    (wayback_extractor_enricher.py:83-110): success -> /web/{ts}/{url} cell,
+    pending -> /save/status/{job_id} check URL, blocked/unauthorized ->
+    status_ext, other failures -> 'failed'; plus the /web/*/{url} column.
+    Synthesize-then-parse: the status JSON is built from event params and
+    parsed with the real kernel; the oracle computes the outcome directly."""
+    from .operators.extractors import wayback_status_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    url = F.concat(
+        F.lit("https://site"), F.pmod("user_id", F.lit(20)).cast("string"),
+        F.lit(".example/p/"), eid,
+    )
+    success = F.concat(
+        F.lit('{"status":"success","timestamp":"2026010112'),
+        F.lpad(F.pmod("event_id", F.lit(60)).cast("string"), 2, "0"),
+        F.lit('33","original_url":"'), url, F.lit('","job_id":"spn-'), eid, F.lit('"}'),
+    )
+    pending = F.concat(F.lit('{"status":"pending","job_id":"spn-'), eid, F.lit('"}'))
+    blocked = F.concat(
+        F.lit('{"status":"error","status_ext":"error:blocked-url","job_id":"spn-'),
+        eid, F.lit('"}'),
+    )
+    failed = F.concat(
+        F.lit('{"status":"error","status_ext":"error:bad","job_id":"spn-'),
+        eid, F.lit('"}'),
+    )
+    doc = (
+        F.when(k == 0, success).when(k == 1, pending).when(k == 2, blocked)
+        .otherwise(failed)
+    )
+    return ev.select("event_id", *wayback_status_cols(doc, url))
+
+
 def q_atlos_payload(spark, sf):
     """K8 Atlos done/failed update documents (atlos_feeder_db_storage.py:
     65-105): nested JSON payload per row holding an atlos_id; success rows
@@ -1265,6 +1302,7 @@ QUERIES = {
     "twitter_parse": q_twitter_parse,
     "media_explode": q_media_explode,
     "playlist_limit": q_playlist_limit,
+    "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
     "livestream_skip": q_livestream_skip,
@@ -1645,6 +1683,22 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "wayback_status": """
+        WITH u AS (SELECT event_id,
+            'https://site' || (user_id % 20) || '.example/p/' || event_id AS url,
+            event_id % 4 AS k
+          FROM events)
+        SELECT event_id,
+          CASE k
+            WHEN 0 THEN 'https://web.archive.org/web/2026010112'
+                        || lpad((event_id % 60)::VARCHAR, 2, '0') || '33/' || url
+            WHEN 1 THEN 'https://web.archive.org/save/status/spn-' || event_id
+            WHEN 2 THEN 'error:blocked-url'
+            ELSE 'failed' END AS wayback,
+          'https://web.archive.org/web/*/' || url AS check_wayback,
+          k = 0 AS ok
+        FROM u
     """,
     "atlos_payload": """
         WITH r AS (SELECT event_id,

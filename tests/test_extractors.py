@@ -143,3 +143,50 @@ def test_twitter_photo_gif_and_textonly(spark):
     r = _tw(spark, {**base, "entities": {"media": []}})
     assert r.status == "twitter-ytdl" and r.media == []  # :141-144
     assert r.content == "hi"
+
+
+# ---- X10 wayback -----------------------------------------------------------------
+
+
+def test_wayback_kernels(spark):
+    from auto_archiver_spark.operators.extractors import (
+        wayback_status_cols,
+        wayback_submit_payload,
+    )
+
+    rows = spark.createDataFrame(
+        [
+            ('{"status":"success","timestamp":"20260101120033",'
+             '"original_url":"https://a/x","job_id":"j1"}', "https://a/x"),
+            ('{"status":"pending","job_id":"j2"}', "https://b/y"),
+            ('{"status":"error","status_ext":"error:blocked-url","job_id":"j3"}',
+             "https://c/z"),
+            ('{"status":"error","status_ext":"error:weird","job_id":"j4"}',
+             "https://d/w"),
+            ("not json at all", "https://e/v"),
+        ],
+        "doc string, url string",
+    )
+    out = rows.select("url", *wayback_status_cols(F.col("doc"), F.col("url"))).collect()
+    by = {r.url: r for r in out}
+    # success -> archive URL (wayback_extractor_enricher.py:88-90)
+    assert by["https://a/x"].wayback == (
+        "https://web.archive.org/web/20260101120033/https://a/x"
+    )
+    assert by["https://a/x"].ok is True
+    # pending -> check-status URL (:104-107 batch analog)
+    assert by["https://b/y"].wayback == "https://web.archive.org/save/status/j2"
+    # blocked/unauthorized -> status_ext recorded (:96-98)
+    assert by["https://c/z"].wayback == "error:blocked-url"
+    # other errors and unparseable bodies -> failed (:92-102)
+    assert by["https://d/w"].wayback == "failed"
+    assert by["https://e/v"].wayback == "failed"
+    # every row carries the /web/*/ check column (:109)
+    assert all(r.check_wayback == f"https://web.archive.org/web/*/{r.url}" for r in out)
+
+    pay = rows.select(
+        wayback_submit_payload(F.col("url")).alias("p1"),
+        wayback_submit_payload(F.col("url"), F.lit("7d")).alias("p2"),
+    ).first()
+    assert pay.p1 == {"url": "https://a/x"}
+    assert pay.p2 == {"url": "https://a/x", "if_not_archived_within": "7d"}
