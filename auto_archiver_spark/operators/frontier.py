@@ -24,6 +24,7 @@ anti-join) — see SURVEY.md §4 "Bloom-partition pruning".
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -102,6 +103,38 @@ def dedup_in_wave(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     )
+
+
+def sanitize_chain(df: DataFrame, url_col: str = "url", strict: bool = False) -> DataFrame:
+    """P3 — the orchestrator's sanitize step (core/orchestrator.py:600-615):
+    validity gate (P1), then the reference-exact ``clean()`` tracker strip
+    (utils/url.py:55-60 — parse_qsl drops valueless params, urlencode
+    re-encodes survivors), then ``original_url`` is kept ONLY when the
+    sanitized URL differs. Per-extractor ``sanitize_url`` overrides are
+    either identity or network redirects (twitter_api t.co expansion) —
+    transport is out of scope; the hook point is the routing operator (P4).
+
+    The strip runs as an Arrow-batched UDF over ``functions.urls.
+    strip_trackers`` because percent re-encoding (%20 -> +) is stdlib
+    ``urlencode`` semantics, not expressible natively; it's a narrow
+    map — no shuffle, prunable."""
+    from ..functions.urls import strip_trackers  # noqa: PLC0415
+
+    @F.pandas_udf("string")
+    def clean_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(strip_trackers)
+
+    if strict:
+        from ..functions.url_exprs import url_invalid_reason_udf  # noqa: PLC0415
+
+        base = df.filter(url_invalid_reason_udf(F.col(url_col)).isNull())
+    else:
+        base = df.filter(archivable_url_expr(F.col(url_col)))
+    cleaned = clean_udf(F.col(url_col))
+    return base.withColumn(
+        "original_url",
+        F.when(cleaned != F.col(url_col), F.col(url_col)),
+    ).withColumn(url_col, cleaned)
 
 
 def per_group_limit(

@@ -714,6 +714,31 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_sanitize_chain(spark, sf):
+    """P3 sanitize chain (orchestrator.py:600-615): P1 gate -> reference-
+    exact clean() tracker strip (valueless params dropped, survivors
+    re-encoded) -> original_url kept only when changed. Query values are
+    synthesized encoding-neutral so the oracle can state the expected
+    output directly."""
+    from .operators.frontier import sanitize_chain  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    k = F.pmod(eid, F.lit(3))
+    b = F.pmod(eid, F.lit(7)).cast("string")
+    base = F.concat(
+        F.lit("https://site"), F.pmod("user_id", F.lit(20)).cast("string"),
+        F.lit(".example/p/"), eid.cast("string"),
+    )
+    q = (
+        F.when(k == 0, F.concat(F.lit("?utm_source=x&b="), b, F.lit("&a=1")))
+        .when(k == 1, F.concat(F.lit("?b="), b, F.lit("&a=1")))
+        .otherwise(F.lit("?flag&b=2"))
+    )
+    rows = ev.select(eid.alias("event_id"), F.concat(base, q).alias("url"))
+    return sanitize_chain(rows).select("event_id", "url", "original_url")
+
+
 def q_wayback_status(spark, sf):
     """X10 Wayback SPN status decision surface
     (wayback_extractor_enricher.py:83-110): success -> /web/{ts}/{url} cell,
@@ -1302,6 +1327,7 @@ QUERIES = {
     "twitter_parse": q_twitter_parse,
     "media_explode": q_media_explode,
     "playlist_limit": q_playlist_limit,
+    "sanitize_chain": q_sanitize_chain,
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
@@ -1683,6 +1709,19 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "sanitize_chain": """
+        WITH u AS (SELECT event_id,
+            'https://site' || (user_id % 20) || '.example/p/' || event_id AS base,
+            event_id % 3 AS k, (event_id % 7) AS b
+          FROM events)
+        SELECT event_id,
+          base || CASE k WHEN 0 THEN '?b=' || b || '&a=1'
+                         WHEN 1 THEN '?b=' || b || '&a=1'
+                         ELSE '?b=2' END AS url,
+          CASE k WHEN 0 THEN base || '?utm_source=x&b=' || b || '&a=1'
+                 WHEN 2 THEN base || '?flag&b=2' END AS original_url
+        FROM u
     """,
     "wayback_status": """
         WITH u AS (SELECT event_id,

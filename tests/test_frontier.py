@@ -130,3 +130,34 @@ def test_salted_repartition_spreads_hot_host(spark):
         .count()
     )
     assert dist >= 4, f"hot host only landed in {dist} partitions"
+
+
+def test_sanitize_chain_original_url_iff_changed(spark):
+    """P3 (orchestrator.py:600-615): clean() strips trackers + valueless
+    params; original_url is set ONLY when the URL actually changed; invalid
+    URLs are gated out (P1)."""
+    from auto_archiver_spark.operators.frontier import sanitize_chain
+
+    rows = spark.createDataFrame(
+        [
+            ("https://a.example/p?utm_source=x&b=2",),
+            ("https://a.example/p?b=2",),
+            ("https://a.example/p?flag&b=2",),   # valueless param dropped
+            ("https://a.example/p?q=1%20b",),    # %20 -> + re-encoding
+            ("not-a-url",),                      # P1 gate drops
+        ],
+        "url string",
+    )
+    key = lambda t: (t[0], t[1] or "")  # noqa: E731  (None-safe sort)
+    full = sorted(
+        ((r.url, r.original_url) for r in sanitize_chain(rows).collect()), key=key
+    )
+    assert full == sorted(
+        [
+            ("https://a.example/p?b=2", "https://a.example/p?utm_source=x&b=2"),
+            ("https://a.example/p?b=2", None),
+            ("https://a.example/p?b=2", "https://a.example/p?flag&b=2"),
+            ("https://a.example/p?q=1+b", "https://a.example/p?q=1%20b"),
+        ],
+        key=key,
+    )
