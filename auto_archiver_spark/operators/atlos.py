@@ -37,6 +37,7 @@ def atlos_done_payload(
     status_col: str = "status",
     result_cols: list[str] | None = None,
     error_col: str = "error",
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """One update document per result row that has an atlos_id.
 
@@ -66,6 +67,7 @@ def atlos_done_payload(
         F.col(atlos_id_col).cast("string") != ""
     )
     return results.filter(present).select(
+        *(passthrough_cols or []),
         F.col(atlos_id_col).alias("atlos_id"),
         F.when(ok, F.to_json(success_doc)).otherwise(F.to_json(error_doc)).alias("payload"),
     )

@@ -797,10 +797,8 @@ def q_atlos_payload(spark, sf):
         iso_ts(F.col("ts")).alias("archived_at"),
         F.concat(F.lit("err-"), F.pmod(eid, F.lit(7)).cast("string")).alias("error"),
     )
-    out = atlos_done_payload(rows, result_cols=["url", "archived_at"])
-    # re-attach event_id for a stable key in the harness compare
-    return rows.select("event_id", "atlos_id").join(out, "atlos_id").select(
-        "event_id", "atlos_id", "payload"
+    return atlos_done_payload(
+        rows, result_cols=["url", "archived_at"], passthrough_cols=["event_id"]
     )
 
 
