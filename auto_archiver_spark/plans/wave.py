@@ -224,18 +224,23 @@ def run_crawl(
         # chain over fetch_out once per job; the wave filter prunes to this
         # wave's row group via parquet predicate pushdown
         results = io.read(spark, "archive_results").filter(F.col("wave") == wave)
+        # one pruned scan feeds wave stats AND the touched-bucket set for the
+        # partition-replace writeback (folding the two driver jobs into one
+        # matters on this host: each extra tiny job samples scheduler stalls)
+        from ..operators.writeback import wb_bucket_expr  # noqa: PLC0415
+
+        fetch_stats = fetched.agg(
+            F.sum((F.col("status") == "success").cast("long")).alias("ok"),
+            F.sum("total_bytes").alias("bytes"),
+            F.collect_set(wb_bucket_expr()).alias("buckets"),
+        ).collect()[0]
         if config.writeback:
             # J3/K4: MERGE this wave's results into the seed-state table
             # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
             # real deployment. The commit is partition-replace: only the row
             # buckets this wave's results touch are re-read, merged and
             # rewritten — O(wave) files per wave, not O(seed) (VERDICT r2 #5)
-            from ..operators.writeback import wb_bucket_expr  # noqa: PLC0415
-
-            touched = sorted(
-                r[0]
-                for r in results.select(wb_bucket_expr().alias("b")).distinct().collect()
-            )
+            touched = sorted(fetch_stats["buckets"] or [])
             if touched:
                 seed_sub = io.read(spark, "seed_state").filter(
                     F.col("wb_bucket").isin(touched)
@@ -287,11 +292,6 @@ def run_crawl(
         snap_ids["lineage"] = io.commit(lineage, "lineage", wave)
         mark("state_commits")
 
-        # total_bytes was computed in the UDF stage — this scan prunes `bytes`
-        fetch_stats = fetched.agg(
-            F.sum((F.col("status") == "success").cast("long")).alias("ok"),
-            F.sum("total_bytes").alias("bytes"),
-        ).collect()[0]
         ws = WaveStats(
             wave=wave,
             candidates=n_cand,
