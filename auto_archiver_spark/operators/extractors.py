@@ -1,4 +1,4 @@
-"""Platform extractor parse kernels — the network-free halves of X4/X5/X6/X10.
+"""Platform extractor parse kernels — the network-free halves of X4/X5/X6/X10/X11.
 
 The reference's platform extractors mix transport (requests/yt-dlp — out of
 scope in a sandboxed engine) with *parsing*, which is pure text/JSON algebra
@@ -17,6 +17,8 @@ and ports exactly:
   sequential best-variant fold and the P8 photo rewrite.
 * X10 Wayback SPN (modules/wayback_extractor_enricher): submit payload and
   the status-poll decision surface (success/pending/blocked/failed cells).
+* X11 Instagram API (modules/instagram_api_extractor): item-JSON media pick
+  (video over thumbnail, carousel/resources fallback) + cleanup_dict analog.
 
 Everything here is native Catalyst (regexp over HTML, from_json over the
 post document) — the fetch UDF plugs these in per route (P4 routing).
@@ -335,4 +337,89 @@ def wayback_status_cols(status_json: Column, url: Column) -> list[Column]:
         cell.alias("wayback"),
         F.concat(F.lit(_WB + "/web/*/"), url).alias("check_wayback"),
         (s["status"] == "success").alias("ok"),
+    ]
+
+
+# ---- X11: Instagram API item JSON -------------------------------------------------
+
+_IG_SUB = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("pk", StringType()),
+        StructField("thumbnail_url", StringType()),
+        StructField("video_url", StringType()),
+    ]
+)
+IG_ITEM_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("pk", StringType()),
+        StructField("code", StringType()),
+        StructField("taken_at", StringType()),
+        StructField("taken_at_ts", StringType()),
+        StructField("caption_text", StringType()),
+        StructField("thumbnail_url", StringType()),
+        StructField("video_url", StringType()),
+        StructField("carousel_media", ArrayType(_IG_SUB)),
+        StructField("resources", ArrayType(_IG_SUB)),
+    ]
+)
+
+# cleanup_dict (instagram_api_extractor.py:77-90): geometry keys dropped,
+# empty-ish values dropped
+_IG_DROP_KEYS = ("x", "y", "width", "height")
+_IG_EMPTY_VALUES = ("", "0", "0.0", "null", "[]", "{}")
+
+
+def instagram_cleanup_map(m: Column) -> Column:
+    """``cleanup_dict`` semantics on a flat map<string,string>: drop the
+    geometry keys and every empty-ish value (the recursive dict version
+    repeats this per nesting level; a columnar pipeline applies it per
+    exploded level)."""
+    return F.map_filter(
+        m,
+        lambda k, v: ~k.isin(*_IG_DROP_KEYS)
+        & v.isNotNull()
+        & ~v.isin(*_IG_EMPTY_VALUES),
+    )
+
+
+def instagram_media_cols(item_json: Column) -> list[Column]:
+    """Columns (post_url, media_src, media_kind, media_id, taken_at,
+    caption) from one Instagram API item document
+    (instagram_api_extractor.py:302-380):
+
+    * post URL from ``code`` (:315-316);
+    * the item's ``video_url`` wins, else ``thumbnail_url``; when the main
+      item has neither, the FIRST element of ``resources`` (alias
+      ``carousel_media``) provides the media — and its own id (:318-323,
+      :352-371);
+    * ``media_id`` = id else pk of whichever item provided the media;
+      ``taken_at`` falls back to ``taken_at_ts`` (:360-361).
+    """
+    p = F.from_json(item_json, IG_ITEM_SCHEMA)
+    res = F.coalesce(p["resources"], p["carousel_media"], F.array().cast(ArrayType(_IG_SUB)))
+    first = F.try_element_at(res, F.lit(1))
+    main_src = F.coalesce(p["video_url"], p["thumbnail_url"])
+    sub_src = F.coalesce(first["video_url"], first["thumbnail_url"])
+    src = F.coalesce(main_src, sub_src)
+    kind = (
+        F.when(p["video_url"].isNotNull(), "video")
+        .when(p["thumbnail_url"].isNotNull(), "image")
+        .when(first["video_url"].isNotNull(), "video")
+        .when(first["thumbnail_url"].isNotNull(), "image")
+    )
+    media_id = F.when(
+        main_src.isNotNull(), F.coalesce(p["id"], p["pk"])
+    ).otherwise(F.coalesce(first["id"], first["pk"]))
+    return [
+        F.when(
+            p["code"].isNotNull(),
+            F.concat(F.lit("https://www.instagram.com/p/"), p["code"], F.lit("/")),
+        ).alias("post_url"),
+        src.alias("media_src"),
+        kind.alias("media_kind"),
+        media_id.alias("media_id"),
+        F.coalesce(p["taken_at"], p["taken_at_ts"]).alias("taken_at"),
+        p["caption_text"].alias("caption"),
     ]

@@ -714,6 +714,41 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_instagram_media(spark, sf):
+    """X11 Instagram API item parse (instagram_api_extractor.py:302-380):
+    post URL from code, video-over-thumbnail media pick with carousel/
+    resources fallback (the fallback element supplies its own media id),
+    id/pk and taken_at/taken_at_ts coalescing. Synthesize-then-parse."""
+    from .operators.extractors import instagram_media_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    video_post = F.concat(
+        F.lit('{"id":"id-'), eid, F.lit('","code":"c-'), eid,
+        F.lit('","taken_at":"t-'), eid, F.lit('","caption_text":"cap '), eid,
+        F.lit('","video_url":"https://ig/v'), eid,
+        F.lit('.mp4","thumbnail_url":"https://ig/t'), eid, F.lit('.jpg"}'),
+    )
+    image_post = F.concat(
+        F.lit('{"pk":"pk-'), eid, F.lit('","code":"c-'), eid,
+        F.lit('","taken_at_ts":"ts-'), eid,
+        F.lit('","thumbnail_url":"https://ig/t'), eid, F.lit('.jpg"}'),
+    )
+    carousel_post = F.concat(
+        F.lit('{"code":"c-'), eid,
+        F.lit('","resources":[{"pk":"r-'), eid,
+        F.lit('","video_url":"https://ig/rv'), eid, F.lit('.mp4"},'),
+        F.lit('{"pk":"x","thumbnail_url":"https://ig/never.jpg"}]}'),
+    )
+    empty_post = F.concat(F.lit('{"code":"c-'), eid, F.lit('"}'))
+    doc = (
+        F.when(k == 0, video_post).when(k == 1, image_post)
+        .when(k == 2, carousel_post).otherwise(empty_post)
+    )
+    return ev.select("event_id", *instagram_media_cols(doc))
+
+
 def q_sanitize_chain(spark, sf):
     """P3 sanitize chain (orchestrator.py:600-615): P1 gate -> reference-
     exact clean() tracker strip (valueless params dropped, survivors
@@ -1326,6 +1361,7 @@ QUERIES = {
     "media_explode": q_media_explode,
     "playlist_limit": q_playlist_limit,
     "sanitize_chain": q_sanitize_chain,
+    "instagram_media": q_instagram_media,
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
@@ -1707,6 +1743,23 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "instagram_media": """
+        SELECT event_id,
+          'https://www.instagram.com/p/c-' || event_id || '/' AS post_url,
+          CASE event_id % 4
+            WHEN 0 THEN 'https://ig/v' || event_id || '.mp4'
+            WHEN 1 THEN 'https://ig/t' || event_id || '.jpg'
+            WHEN 2 THEN 'https://ig/rv' || event_id || '.mp4' END AS media_src,
+          CASE event_id % 4 WHEN 0 THEN 'video' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'video' END AS media_kind,
+          CASE event_id % 4 WHEN 0 THEN 'id-' || event_id
+               WHEN 1 THEN 'pk-' || event_id
+               WHEN 2 THEN 'r-' || event_id END AS media_id,
+          CASE event_id % 4 WHEN 0 THEN 't-' || event_id
+               WHEN 1 THEN 'ts-' || event_id END AS taken_at,
+          CASE WHEN event_id % 4 = 0 THEN 'cap ' || event_id END AS caption
+        FROM events
     """,
     "sanitize_chain": """
         WITH u AS (SELECT event_id,

@@ -190,3 +190,41 @@ def test_wayback_kernels(spark):
     ).first()
     assert pay.p1 == {"url": "https://a/x"}
     assert pay.p2 == {"url": "https://a/x", "if_not_archived_within": "7d"}
+
+
+# ---- X11 instagram ---------------------------------------------------------------
+
+
+def test_instagram_media_pick_and_cleanup(spark):
+    from auto_archiver_spark.operators.extractors import (
+        instagram_cleanup_map,
+        instagram_media_cols,
+    )
+
+    docs = [
+        # video wins over thumbnail on the same item
+        '{"id":"i1","code":"c1","taken_at":"1700000000","caption_text":"hi",'
+        '"video_url":"https://ig/v.mp4","thumbnail_url":"https://ig/t.jpg"}',
+        # image-only; pk fallback for id, taken_at_ts fallback for date
+        '{"pk":"p2","code":"c2","taken_at_ts":"1700000001",'
+        '"thumbnail_url":"https://ig/t2.jpg"}',
+        # carousel fallback takes the FIRST resource and ITS id (:318-323)
+        '{"code":"c3","carousel_media":[{"pk":"r1","thumbnail_url":"https://ig/r1.jpg"},'
+        '{"pk":"r2","video_url":"https://ig/r2.mp4"}]}',
+        '{"code":"c4"}',  # nothing to pick
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "j string")
+    rows = df.select(*instagram_media_cols(F.col("j"))).collect()
+    assert [(r.post_url, r.media_src, r.media_kind, r.media_id, r.taken_at) for r in rows] == [
+        ("https://www.instagram.com/p/c1/", "https://ig/v.mp4", "video", "i1", "1700000000"),
+        ("https://www.instagram.com/p/c2/", "https://ig/t2.jpg", "image", "p2", "1700000001"),
+        ("https://www.instagram.com/p/c3/", "https://ig/r1.jpg", "image", "r1", None),
+        ("https://www.instagram.com/p/c4/", None, None, None, None),
+    ]
+    # cleanup_dict analog: geometry keys + empty-ish values dropped (:77-90)
+    m = spark.createDataFrame(
+        [({"x": "5", "width": "9", "name": "a", "empty": "", "z": "0", "keep": "v"},)],
+        "m map<string,string>",
+    )
+    out = m.select(instagram_cleanup_map(F.col("m")).alias("c")).first().c
+    assert out == {"name": "a", "keep": "v"}
