@@ -423,3 +423,34 @@ def instagram_media_cols(item_json: Column) -> list[Column]:
         F.coalesce(p["taken_at"], p["taken_at_ts"]).alias("taken_at"),
         p["caption_text"].alias("caption"),
     ]
+
+
+# ---- X8: antibot dropin routing + VK sanitize -------------------------------------
+
+# VkDropin url patterns (antibot_extractor_enricher/dropins/vk.py:15-18),
+# applied in declaration order — first match wins (:38-46)
+_VK_PATTERNS = (
+    r"(wall.{0,1}\d+_\d+)",
+    r"(video.{0,1}\d+_\d+(?:_\w+)?)",
+    r"(clip.{0,1}\d+_\d+)",
+    r"(photo.{0,1}\d+_\d+)",
+)
+
+
+def antibot_sanitize_expr(url: Column) -> Column:
+    """X8's deterministic half — the antibot module's per-dropin
+    ``sanitize_url`` dispatch (antibot_extractor_enricher.py:64-68: first
+    suitable dropin rewrites; others are identity). Only the VK dropin
+    rewrites (dropins/vk.py:38-46): modal URLs like
+    ``https://vk.com/page?w=wall-123_456`` become
+    ``https://vk.com/wall-123_456``; the browser-automation half is out of
+    scope. Native Catalyst — an ordered first-match over the four patterns,
+    gated on the dropin's ``suitable`` substring check."""
+    first = None
+    for pat in _VK_PATTERNS:
+        m = F.nullif(F.regexp_extract(url, pat, 1), F.lit(""))
+        first = m if first is None else F.coalesce(first, m)
+    is_vk = url.contains("vk.com")
+    return F.when(
+        is_vk & first.isNotNull(), F.concat(F.lit("https://vk.com/"), first)
+    ).otherwise(url)

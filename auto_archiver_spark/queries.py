@@ -714,6 +714,28 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_antibot_sanitize(spark, sf):
+    """X8 antibot dropin sanitize dispatch (dropins/vk.py:38-46): VK modal
+    URLs rewrite to their canonical object URL, first-of-four patterns in
+    order; non-VK URLs and pattern-less VK URLs pass through."""
+    from .operators.extractors import antibot_sanitize_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id").cast("string")
+    k = F.pmod("event_id", F.lit(4))
+    url = (
+        F.when(k == 0, F.concat(F.lit("https://vk.com/page"), eid,
+                                F.lit("?w=wall-"), eid, F.lit("_77")))
+        .when(k == 1, F.concat(F.lit("https://vk.com/feed?z=video-"), eid,
+                               F.lit("_88%2Fpl_cat_trends")))
+        .when(k == 2, F.concat(F.lit("https://vk.com/plain_page"), eid))
+        .otherwise(F.concat(F.lit("https://other.example/wall-"), eid, F.lit("_99")))
+    )
+    return ev.select(
+        "event_id", url.alias("url"), antibot_sanitize_expr(url).alias("sanitized")
+    )
+
+
 def q_instagram_media(spark, sf):
     """X11 Instagram API item parse (instagram_api_extractor.py:302-380):
     post URL from code, video-over-thumbnail media pick with carousel/
@@ -1362,6 +1384,7 @@ QUERIES = {
     "playlist_limit": q_playlist_limit,
     "sanitize_chain": q_sanitize_chain,
     "instagram_media": q_instagram_media,
+    "antibot_sanitize": q_antibot_sanitize,
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
@@ -1743,6 +1766,22 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "antibot_sanitize": """
+        WITH u AS (SELECT event_id, event_id % 4 AS k,
+            CASE event_id % 4
+              WHEN 0 THEN 'https://vk.com/page' || event_id || '?w=wall-'
+                          || event_id || '_77'
+              WHEN 1 THEN 'https://vk.com/feed?z=video-' || event_id
+                          || '_88%2Fpl_cat_trends'
+              WHEN 2 THEN 'https://vk.com/plain_page' || event_id
+              ELSE 'https://other.example/wall-' || event_id || '_99' END AS url
+          FROM events)
+        SELECT event_id, url,
+          CASE k WHEN 0 THEN 'https://vk.com/wall-' || event_id || '_77'
+                 WHEN 1 THEN 'https://vk.com/video-' || event_id || '_88'
+                 ELSE url END AS sanitized
+        FROM u
     """,
     "instagram_media": """
         SELECT event_id,

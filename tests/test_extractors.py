@@ -228,3 +228,25 @@ def test_instagram_media_pick_and_cleanup(spark):
     )
     out = m.select(instagram_cleanup_map(F.col("m")).alias("c")).first().c
     assert out == {"name": "a", "keep": "v"}
+
+
+# ---- X8 antibot VK sanitize ------------------------------------------------------
+
+
+def test_antibot_vk_sanitize(spark):
+    """dropins/vk.py:38-46 — ordered first-match rewrite, vk.com-gated."""
+    from auto_archiver_spark.operators.extractors import antibot_sanitize_expr
+
+    cases = [
+        ("https://vk.com/page_name?w=wall-123456_7890", "https://vk.com/wall-123456_7890"),
+        ("https://vk.com/feed?z=video-1_2_abc", "https://vk.com/video-1_2_abc"),
+        ("https://vk.com/x?z=clip-11_22", "https://vk.com/clip-11_22"),
+        ("https://vk.com/a?z=photo-33_44", "https://vk.com/photo-33_44"),
+        # wall wins over video when both present (declaration order, :42)
+        ("https://vk.com/q?w=wall-1_2&z=video-3_4", "https://vk.com/wall-1_2"),
+        ("https://vk.com/no_modal_here", "https://vk.com/no_modal_here"),
+        ("https://other.example/wall-1_2", "https://other.example/wall-1_2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(antibot_sanitize_expr(F.col("url")).alias("s")).collect()]
+    assert got == [want for _, want in cases]
