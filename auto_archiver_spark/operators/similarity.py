@@ -186,3 +186,30 @@ def ivf_topk_from_index(
     probe = _probe_buckets(centroids, query_vec, nprobe)
     scan = spark.read.parquet(path).filter(F.col("ivf_bucket").isin(probe))
     return cosine_topk(scan, query_vec, k, id_col, vec_col)
+
+
+def embedding_lsh_signature(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Random-hyperplane LSH (the embedding analog of SimHash): signature
+    bit i = [cosine(v, plane_i) >= 0]. Vectors within a small angle share
+    most bits, so an equi-join on the signature (or on bit-blocks, as in
+    simhash_buckets) yields near-dup candidates without a cartesian product.
+
+    ``planes`` is a small literal list (unrolled into native exprs — no
+    Python in the plan); rounding makes the sign decision reproducible
+    cross-engine at the gate. At scale the signature column is computed in
+    the same narrow projection as any other derived column and the
+    candidate join shuffles only (id, signature)."""
+    v = F.col(vec_col).cast("array<double>")
+    sig = None
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(
+            F.round(cosine_expr(v, plane), round_to) >= 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return embeddings.withColumn("lsh_sig", sig)

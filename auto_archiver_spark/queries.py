@@ -714,6 +714,19 @@ def q_bluesky_embeds(spark, sf):
     )
 
 
+def q_embedding_lsh(spark, sf):
+    """Random-hyperplane LSH signatures over the embedding table (training-
+    data tier near-dup candidate generation): bit i = [cos(v, plane_i) >= 0],
+    planes = embedding rows vec_id 1..12 (derivable by both engines, same
+    convention as the ivf_topk oracle)."""
+    from .operators.similarity import embedding_lsh_signature  # noqa: PLC0415
+
+    emb = load(spark, sf, "embeddings")
+    rows = emb.filter(F.col("vec_id").between(1, 12)).select("vec_id", "embedding").collect()
+    planes = [list(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)]
+    return embedding_lsh_signature(emb, planes).select("vec_id", "lsh_sig")
+
+
 def q_antibot_sanitize(spark, sf):
     """X8 antibot dropin sanitize dispatch (dropins/vk.py:38-46): VK modal
     URLs rewrite to their canonical object URL, first-of-four patterns in
@@ -1385,6 +1398,7 @@ QUERIES = {
     "sanitize_chain": q_sanitize_chain,
     "instagram_media": q_instagram_media,
     "antibot_sanitize": q_antibot_sanitize,
+    "embedding_lsh": q_embedding_lsh,
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
@@ -1766,6 +1780,16 @@ ORACLE = {
                ELSE CAST([] AS VARCHAR[]) END,
             ','), '') AS media_csv
         FROM m
+    """,
+    "embedding_lsh": """
+        WITH planes AS (
+          SELECT (vec_id - 1)::INT AS i, embedding::DOUBLE[] AS p
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 12)
+        SELECT e.vec_id,
+          sum(CASE WHEN round(list_cosine_similarity(e.embedding::DOUBLE[], pl.p), 6) >= 0
+                   THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS lsh_sig
+        FROM embeddings e CROSS JOIN planes pl
+        GROUP BY e.vec_id
     """,
     "antibot_sanitize": """
         WITH u AS (SELECT event_id, event_id % 4 AS k,

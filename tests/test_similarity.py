@@ -51,3 +51,27 @@ def test_ivf_recall_and_pruning(emb, emb_np):
     assert full == exact
     n_buckets = bucketed.select("ivf_bucket").distinct().count()
     assert n_buckets > 1  # pruning is real: probing 4 of >1 buckets skips data
+
+
+def test_embedding_lsh_locality(spark):
+    """Hyperplane LSH: identical vectors share the signature; a near-copy
+    differs in few bits; an orthogonal-ish vector differs in many."""
+    import numpy as np
+
+    from auto_archiver_spark.operators.similarity import embedding_lsh_signature
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.01, size=16)
+    far = rng.normal(size=16)
+    planes = [list(rng.normal(size=16)) for _ in range(16)]
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+         (2, [float(x) for x in base]), (3, [float(x) for x in far])],
+        "vec_id long, embedding array<double>",
+    )
+    sigs = {r.vec_id: r.lsh_sig
+            for r in embedding_lsh_signature(df, planes).collect()}
+    assert sigs[0] == sigs[2]  # exact copy -> same bucket key
+    assert bin(sigs[0] ^ sigs[1]).count("1") <= 2  # near-copy -> few bit flips
+    assert bin(sigs[0] ^ sigs[3]).count("1") >= 3  # unrelated -> many
