@@ -229,7 +229,7 @@ def build_warc_record(
     return head.encode("latin1") + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def build_wacz(warc_bytes: bytes, members: int = 2) -> bytes:
+def build_wacz(warc_bytes: bytes, members: int = 2, pages: list[dict] | None = None) -> bytes:
     """Fixture .wacz: split the WARC stream into ``members`` gzip chunks
     under ``archive/`` (the browsertrix layout the reference unzips and
     byte-merges, wacz_extractor_enricher.py:185-196) plus a minimal
@@ -246,7 +246,12 @@ def build_wacz(warc_bytes: bytes, members: int = 2) -> bytes:
                 gzip.compress(warc_bytes[start : start + n]),
             )
         z.writestr("datapackage.json", '{"profile": "data-package"}')
-        z.writestr("pages/pages.jsonl", "")
+        import json as _json  # noqa: PLC0415
+
+        z.writestr(
+            "pages/pages.jsonl",
+            "\n".join(_json.dumps(p) for p in (pages or [])),
+        )
     return buf.getvalue()
 
 
@@ -259,3 +264,55 @@ def build_http_response(body: bytes, content_type: str) -> bytes:
         + b"\r\n\r\n"
         + body
     )
+
+
+# ---- WACZ pages.jsonl (title/text) ------------------------------------------------
+
+
+def extract_pages_info(wacz_bytes: bytes) -> dict:
+    """The reference's pages.jsonl pass (wacz_extractor_enricher.py:157-174):
+    iterate ``pages/pages.jsonl`` objects; every ``title`` overwrites
+    (set_title — last wins) and every ``text`` APPENDS (set_content is the
+    F16 newline-join, core/metadata.py:119-122). Corrupt containers/lines
+    degrade to skips."""
+    import json as _json  # noqa: PLC0415
+
+    title, texts = None, []
+    try:
+        with zipfile.ZipFile(_io.BytesIO(wacz_bytes)) as z:
+            if "pages/pages.jsonl" not in z.namelist():
+                return {"title": None, "content": None}
+            raw = z.read("pages/pages.jsonl")
+    except (zipfile.BadZipFile, KeyError):
+        return {"title": None, "content": None}
+    for line in raw.splitlines():
+        if not line.strip():
+            continue
+        try:
+            obj = _json.loads(line)
+        except ValueError:
+            continue
+        if "title" in obj:
+            title = obj["title"]
+        if "text" in obj:
+            texts.append(str(obj["text"]))
+    return {"title": title, "content": "\n".join(texts) if texts else None}
+
+
+def scan_wacz_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Per-WACZ (archive, title, content) from pages.jsonl — the metadata
+    half of X9 next to ``scan_warc_media``'s record demux. Same binaryFile
+    parallelism: one container per row, Arrow-batched parse."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                info = extract_pages_info(bytes(r.content))
+                rows.append({"archive": r.path, **info})
+            yield pd.DataFrame.from_records(
+                rows, columns=["archive", "title", "content"]
+            )
+
+    return files.mapInPandas(parse, "archive string, title string, content string")

@@ -167,3 +167,35 @@ def test_truncated_ihdr_flags_not_crash():
     meta = image_metadata(trunc)
     assert meta["corrupt"] == "truncated-ihdr"
     assert meta["format"] == "png"
+
+
+def test_wacz_pages_jsonl_title_text(spark, tmp_path):
+    """X9 metadata half (wacz_extractor_enricher.py:157-174): every title
+    overwrites (set_title last-wins), every text appends (F16 newline
+    join); missing/corrupt pages.jsonl degrades to nulls."""
+    from auto_archiver_spark.sources.warc import (
+        build_wacz,
+        extract_pages_info,
+        scan_wacz_pages,
+    )
+
+    raw = _sample_warc()
+    pages = [
+        {"url": "https://site.example/1", "title": "First", "text": "hello"},
+        {"url": "https://site.example/2", "text": "world"},
+        {"url": "https://site.example/3", "title": "Last"},
+    ]
+    wacz = build_wacz(raw, pages=pages)
+    info = extract_pages_info(wacz)
+    assert info == {"title": "Last", "content": "hello\nworld"}
+    assert extract_pages_info(build_wacz(raw)) == {"title": None, "content": None}
+    assert extract_pages_info(b"PK\x03\x04garbage") == {"title": None, "content": None}
+    # through the Spark source
+    with open(os.path.join(tmp_path, "a.wacz"), "wb") as f:
+        f.write(wacz)
+    with open(os.path.join(tmp_path, "b.wacz"), "wb") as f:
+        f.write(build_wacz(raw))
+    rows = {r.archive.split("/")[-1]: (r.title, r.content)
+            for r in scan_wacz_pages(spark, str(tmp_path)).collect()}
+    assert rows["a.wacz"] == ("Last", "hello\nworld")
+    assert rows["b.wacz"] == (None, None)
