@@ -139,3 +139,24 @@ def test_capped_bucket_cluster_consumption(spark):
             for r in minhash_dedup_clusters(df, bucket_cap=4).collect()}
     assert {comp[i] for i in range(12)} == {0}  # one cluster, rep = min id
     assert 50 not in comp  # no candidate edges for the singleton
+
+
+def test_phash_bucket_cap_star_pairs(spark):
+    """Over-cap phash buckets star-sample (screenshot-farm guard): identical
+    phashes stay fully connected through the representative at hamming 0."""
+    from auto_archiver_spark.operators.dedup import phash_near_dup_pairs
+
+    rows = [(f"img-{i:03d}", 0x1234ABCD5678EF00) for i in range(10)]
+    rows.append(("img-zzz", 0x1234ABCD5678EF03))  # hamming 2 from the clique
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = phash_near_dup_pairs(df, max_hamming=3, bucket_cap=4).collect()
+    edges = {(r.id_a, r.id_b) for r in pairs}
+    # star shape: every clique member connects to the min-id rep
+    rep = "img-000"
+    for i in range(1, 10):
+        assert (rep, f"img-{i:03d}") in edges
+    # no O(m^2) expansion among non-rep members
+    assert not any(a != rep and b != rep and a.startswith("img-0") and b.startswith("img-0")
+                   for a, b in edges)
+    # the hamming-2 neighbor still pairs with the rep
+    assert (rep, "img-zzz") in edges
