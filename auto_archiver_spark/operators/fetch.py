@@ -51,57 +51,60 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # per-partition init happens here (sessions, buckets) — once, not per row
     host_elapsed: dict[str, int] = {}
     for pdf in batches:
-        out = []
-        for row in pdf.itertuples(index=False):
-            m = _ID_RE.search(row.url_norm)
-            delay = int(getattr(row, "crawl_delay_ms", 0) or 0)
-            elapsed = host_elapsed.get(row.host, 0) + delay
-            host_elapsed[row.host] = elapsed
-            base = {
-                "sheet": row.sheet,
-                "row_idx": row.row_idx,
-                "url": row.url,
-                "url_norm": row.url_norm,
-                "url_hash": row.url_hash,
-                "host": row.host,
-                "folder": row.folder,
-                "politeness_ms": elapsed,
-            }
-            if m is None:
-                out.append(
-                    base
-                    | {
-                        "status": "nothing archived",
-                        "image_id": None,
-                        "bytes": None,
-                        "w": None,
-                        "h": None,
-                        "fmt": None,
-                        "caption": None,
-                        "phash": None,
-                        "pdq": None,
-                        "thumb": None,
-                    }
-                )
-                continue
-            rec = image_record(int(m.group(1)))
-            px = decode_image(rec["bytes"])
-            out.append(
-                base
-                | {
-                    "status": "success",
-                    "image_id": rec["image_id"],
-                    "bytes": rec["bytes"],
-                    "w": rec["w"],
-                    "h": rec["h"],
-                    "fmt": rec["fmt"],
-                    "caption": rec["caption"],
-                    "phash": dhash64(px),
-                    "pdq": pdq256(px)[0],
-                    "thumb": png_encode(thumbnail(px)),
-                }
+        n = len(pdf)
+        # base columns + politeness accounting are pure pandas column ops
+        # (r3 VERDICT #2: the old row loop rebuilt a dict per row around the
+        # per-image decode — only the decode is genuinely per-row)
+        out = pdf[["sheet", "row_idx", "url", "url_norm", "url_hash", "host", "folder"]].copy()
+        if "crawl_delay_ms" in pdf.columns:
+            delay = (
+                pd.to_numeric(pdf["crawl_delay_ms"], errors="coerce")
+                .fillna(0)
+                .astype("int64")
             )
-        yield pd.DataFrame.from_records(out)
+        else:
+            delay = pd.Series(0, index=pdf.index, dtype="int64")
+        carry = pdf["host"].map(host_elapsed).fillna(0).astype("int64")
+        by_host = pdf["host"]
+        politeness = carry + delay.groupby(by_host).cumsum()
+        host_elapsed.update(
+            (carry.groupby(by_host).first() + delay.groupby(by_host).sum()).to_dict()
+        )
+        ids = pdf["url_norm"].str.extract(_ID_RE, expand=False)
+        ok = ids.notna().to_numpy()
+        out["status"] = pd.Series(
+            ["success" if f else "nothing archived" for f in ok], index=pdf.index
+        )
+
+        cols = {
+            name: [None] * n
+            for name in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "pdq", "thumb")
+        }
+        id_vals = ids.to_numpy()
+        for i in range(n):
+            if not ok[i]:
+                continue
+            rec = image_record(int(id_vals[i]))
+            px = decode_image(rec["bytes"])
+            cols["image_id"][i] = rec["image_id"]
+            cols["bytes"][i] = rec["bytes"]
+            cols["w"][i] = rec["w"]
+            cols["h"][i] = rec["h"]
+            cols["fmt"][i] = rec["fmt"]
+            cols["caption"][i] = rec["caption"]
+            cols["phash"][i] = dhash64(px)
+            cols["pdq"][i] = pdq256(px)[0]
+            cols["thumb"][i] = png_encode(thumbnail(px))
+        for name, vals in cols.items():
+            out[name] = pd.Series(vals, index=pdf.index, dtype="object")
+        out["politeness_ms"] = politeness
+        yield out[
+            [
+                "sheet", "row_idx", "url", "url_norm", "url_hash", "host", "folder",
+                "status", "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "pdq", "thumb", "politeness_ms",
+            ]
+        ]
 
 
 def fetch_archive(admitted: DataFrame) -> DataFrame:

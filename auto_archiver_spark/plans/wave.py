@@ -224,6 +224,7 @@ def run_crawl(
         # chain over fetch_out once per job; the wave filter prunes to this
         # wave's row group via parquet predicate pushdown
         results = io.read(spark, "archive_results").filter(F.col("wave") == wave)
+        mark("results_commit")
         # one pruned scan feeds wave stats AND the touched-bucket set for the
         # partition-replace writeback (folding the two driver jobs into one
         # matters on this host: each extra tiny job samples scheduler stalls)
@@ -234,6 +235,7 @@ def run_crawl(
             F.sum("total_bytes").alias("bytes"),
             F.collect_set(wb_bucket_expr()).alias("buckets"),
         ).collect()[0]
+        mark("wave_stats")
         if config.writeback:
             # J3/K4: MERGE this wave's results into the seed-state table
             # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
@@ -252,7 +254,7 @@ def run_crawl(
                     part_col="wb_bucket",
                     parts=touched,
                 )
-        mark("results_commit")
+        mark("writeback_commit")
         newly_seen = admitted.select(
             "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
         )

@@ -27,11 +27,7 @@ from pyspark.sql.window import Window
 
 from .functions import text as T
 from .functions import url_exprs as X
-from .operators.dedup import (
-    minhash_dedup,
-    simhash_buckets,
-    word_ngrams_expr,
-)
+from .operators.dedup import word_ngrams_expr
 from .operators.similarity import cosine_topk
 
 
@@ -390,21 +386,7 @@ def q_cosine_topk(spark, sf):
     return cosine_topk(emb, list(qvec), k=10)
 
 
-# --- sketches (deterministic; rows-only driver check, value-tested in pytest) ----------
-
-
-def q_minhash_lsh(spark, sf):
-    """MinHash-LSH near-dup pairs over documents, exact-Jaccard verified >=0.5."""
-    d = load(spark, sf, "documents")
-    return minhash_dedup(d, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 5).alias("jaccard")
-    )
-
-
-def q_simhash_buckets(spark, sf):
-    """SimHash-64 signatures + 16-bit block bucket keys over documents."""
-    d = load(spark, sf, "documents")
-    return simhash_buckets(d).select("id", "simhash", "block", "val")
+# --- sketches (deterministic, all gate-verified via the portable md5 hash) --------
 
 
 def _md5_int60(col):
@@ -413,19 +395,17 @@ def _md5_int60(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def q_simhash_portable(spark, sf):
-    """SimHash bit-vote algebra, cross-engine hash-verified: per doc, tokens
-    are hashed with the portable md5-prefix int60; each of 60 bit positions
-    sums votes (+1 if the token hash has the bit set, else -1); signature
-    bit j = vote_j >= 0. This proves the exact SimHash construction the
-    production operator (operators/dedup.py simhash_buckets /
-    functions/hashing.py) runs with xxhash64 — same algebra, engine-portable
-    hash (the xxhash64 entry stays rows-only: DuckDB lacks xxhash64).
+def _simhash60_df(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash60) via the portable SimHash construction: per doc,
+    tokens hash to md5-prefix int60; each of 60 bit positions sums votes
+    (+1 if the token hash has the bit set, else -1); signature bit j =
+    vote_j >= 0. Same algebra the production operator (operators/dedup.py
+    simhash_buckets / functions/hashing.py) runs with xxhash64, with an
+    engine-portable hash so DuckDB reproduces it bit-for-bit.
 
     One pass over the token array: the vote vector is a 60-long array
     accumulator (aggregate + zip_with); bit tests unroll to literal shifts
     (Spark requires literal shift amounts)."""
-    d = load(spark, sf, "documents")
     tokens = F.split(F.trim("text"), r"\s+")
     hashes = F.transform(tokens, _md5_int60)
 
@@ -452,6 +432,139 @@ def q_simhash_portable(spark, sf):
         d.select("doc_id", votes.alias("_votes"))
         .select("doc_id", sig.alias("simhash60"))
     )
+
+
+# position-mixing primes for the word-hash 3-gram combiner (< 2^21 so
+# wh * prime stays far under 2^63 — no overflow before the mod)
+_SH_A, _SH_B = 1_000_003, 999_983
+
+
+def _shingle_hash_df(d: DataFrame, id_alias: str = "id"):
+    """(id, hs) — portable hashed 3-gram shingles WITHOUT building shingle
+    strings: hash each word once (md5-int60 % M), then combine consecutive
+    triples arithmetically — (wh_i*A % M + wh_{i+1}*B % M + wh_{i+2}) % M.
+    One md5 per word instead of ~3 (each word appears in 3 shingles) and
+    zero per-shingle string allocation. Docs shorter than 3 words hash
+    their full joined text, like word_ngrams_expr's degenerate case.
+    Reproducible verbatim in DuckDB list comprehensions (the oracle).
+
+    Built as a DataFrame, not a Column: the word-hash array MUST be a
+    materialized column before the triple combiner references it 3x inside
+    a HOF lambda — Spark does no CSE inside lambda bodies, so an inline
+    expression would recompute every word hash 3x PER SHINGLE (measured
+    O(n²) blowup: 87s vs 1s at sf0.1)."""
+    words = F.split(F.trim("text"), r"\s+")
+    wv = F.transform(words, lambda w: _md5_int60(w) % F.lit(_MH_M))
+    base = d.select(
+        F.col("doc_id").alias(id_alias),
+        words.alias("_w"),
+        wv.alias("_wv"),
+    )
+    nw = F.size("_w")
+    col_wv = F.col("_wv")
+
+    def tri(i):
+        return (
+            (F.element_at(col_wv, i) * F.lit(_SH_A)) % F.lit(_MH_M)
+            + (F.element_at(col_wv, (i + F.lit(1)).cast("int")) * F.lit(_SH_B))
+            % F.lit(_MH_M)
+            + F.element_at(col_wv, (i + F.lit(2)).cast("int"))
+        ) % F.lit(_MH_M)
+
+    hs = F.when(
+        nw < 3, F.array(_md5_int60(F.array_join("_w", " ")) % F.lit(_MH_M))
+    ).otherwise(F.transform(F.sequence(F.lit(1), nw - 2), tri))
+    return base.select(id_alias, hs.alias("hs"))
+
+
+def q_minhash_lsh(spark, sf):
+    """MinHash-LSH near-dup pipeline, now fully oracle-checked (r3 VERDICT
+    #3): portable hashed 3-gram shingles (_shingle_hash_arr) -> 16 affine
+    permutation minima -> 8 bands x 2 rows -> band-key equi-join candidates
+    (a<b, distinct) -> exact hashed-shingle-set Jaccard verify at threshold
+    0.5. The threshold test is integer-exact (2*inter >= uni) so no float
+    crosses the engine boundary; Jaccard over hashed shingles equals
+    string-shingle Jaccard up to hash collisions, identically on both
+    engines (same hash both sides). Same band/verify shape as the
+    production xxhash64 operator (operators/dedup.py minhash_dedup —
+    pytest-exact in tests/test_sketches.py); the only wide exchange is the
+    groupBy on the band key, O(n·bands) rows, never O(n²)."""
+    from .operators.dedup import pairs_expr  # noqa: PLC0415
+
+    d = load(spark, sf, "documents")
+
+    def perm(a, b):  # closure factory: the HOF lambda must stay unary
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)
+
+    # materialize the hash array ONCE in its own projection: inlining it
+    # into each of the 16 array_min exprs makes Spark hash every shingle 16x
+    # (CollapseProject keeps the alias because it is referenced many times;
+    # measured 17x wall on this query at sf0.1)
+    hashed = _shingle_hash_df(d, "id")
+    mins = [F.array_min(F.transform(F.col("hs"), perm(a, b))) for a, b in _MH_PERMS]
+    bands = F.array(
+        *[
+            F.concat_ws("_", *[m.cast("string") for m in mins[2 * b : 2 * b + 2]])
+            for b in range(8)
+        ]
+    )
+    banded = hashed.select("id", F.posexplode(bands).alias("band", "key"))
+    grouped = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    pairs = (
+        grouped.filter(F.size("ids") > 1)
+        .select(F.explode(pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+        .localCheckpoint()  # tiny; signature stage must not re-run per join branch
+    )
+    # verify-only-candidates (same shape as operators/dedup.py ngram_jaccard):
+    # prune the corpus to ids in some pair BEFORE the shingle-set work
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = _shingle_hash_df(
+        d.join(F.broadcast(ids), d["doc_id"] == ids["id"], "left_semi"), "id"
+    ).select("id", F.array_distinct("hs").alias("sh"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    uni = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    return (
+        joined.select("id_a", "id_b", inter.alias("inter"), uni.alias("uni"))
+        .filter(F.lit(2) * F.col("inter") >= F.col("uni"))
+    )
+
+
+def q_simhash_buckets(spark, sf):
+    """SimHash signatures + pigeonhole block bucket keys, now fully
+    oracle-checked (r3 VERDICT #3): portable simhash60 (_simhash60_df) split
+    into 4x15-bit blocks — two docs within hamming<=3 share at least one
+    exact block, so the (block, val) equi-join is the candidate generator.
+    Production xxhash64 twin: operators/dedup.py simhash_buckets."""
+    sig = _simhash60_df(load(spark, sf, "documents"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("block"),
+                F.shiftrightunsigned(F.col("simhash60"), 15 * i)
+                .bitwiseAND(F.lit(0x7FFF).cast("long"))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    return sig.select("doc_id", "simhash60", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash60", F.col("b.block").alias("block"), F.col("b.val").alias("val")
+    )
+
+
+def q_simhash_portable(spark, sf):
+    """SimHash bit-vote algebra, cross-engine hash-verified (see
+    _simhash60_df — shared with q_simhash_buckets)."""
+    return _simhash60_df(load(spark, sf, "documents"))
 
 
 # deterministic affine-permutation constants for the portable MinHash entry
@@ -1351,14 +1464,116 @@ def q_archive_duration(spark, sf):
     return ev.select("event_id", F.coalesce(dur, F.lit(-1)).alias("duration_s"))
 
 
+def q_commit_csv(spark, sf):
+    """K1 CSV sink round-trip (csv_db.py:15-23): two *append* snapshots
+    through TableIO.commit_csv — the header row is written iff the table was
+    empty (first snapshot only, like the reference's ``is_empty`` check on
+    the open file) — then read back through the snapshot reader. Mishandled
+    headers surface as an extra/swallowed row or shifted columns vs the
+    oracle, so the header-iff-empty contract is value-checked, not just
+    pytest-asserted."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from .plans.tableio import TableIO  # noqa: PLC0415
+
+    d = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(F.lit("archived "), F.col("doc_id").cast("string")).alias("status"),
+    )
+    root = tempfile.mkdtemp(prefix="aas_gate_csv_")
+    try:
+        io = TableIO(root)
+        io.commit_csv(d.filter(F.pmod("doc_id", F.lit(2)) == 0), "res", wave=0)
+        io.commit_csv(d.filter(F.pmod("doc_id", F.lit(2)) == 1), "res", wave=1)
+        # materialize before the temp dir goes away (gate-sized data)
+        out = io.read(spark, "res").localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def q_wacz_pages(spark, sf):
+    """S5/X9 pages.jsonl metadata pass, synthesize-then-parse (the gate
+    pattern for parsers): per doc, build a real WACZ zip whose
+    pages/pages.jsonl derives from doc_id — two title lines (last wins,
+    wacz_extractor_enricher.py:157-174), 0-2 text lines (newline-joined F16
+    append), plus a corrupt JSON line and a blank line that must be skipped;
+    doc_id%5==0 omits pages.jsonl entirely. The real
+    sources/warc.py extract_pages_info parses it back; the oracle computes
+    title/content straight from doc_id."""
+    import io as _io  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+    import zipfile  # noqa: PLC0415
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .sources.warc import extract_pages_info  # noqa: PLC0415
+
+    def make_wacz(doc_id: int) -> bytes:
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("archive/data.warc.gz", b"")
+            if doc_id % 5 != 0:
+                lines = [_json.dumps({"title": f"first {doc_id}"})]
+                if doc_id % 3 == 0:
+                    lines.append("{corrupt")  # must be skipped, not fatal
+                lines.append("")  # blank line skipped
+                if doc_id % 2 == 0:
+                    lines.append(
+                        _json.dumps({"title": f"last {doc_id}", "text": f"alpha {doc_id}"})
+                    )
+                if doc_id % 4 == 0:
+                    lines.append(_json.dumps({"text": f"beta {doc_id}"}))
+                z.writestr("pages/pages.jsonl", "\n".join(lines))
+        return buf.getvalue()
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                info = extract_pages_info(make_wacz(int(did)))
+                rows.append({"doc_id": int(did), **info})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "title", "content"])
+
+    d = load(spark, sf, "documents")
+    return d.select("doc_id").mapInPandas(parse, "doc_id long, title string, content string")
+
+
+# Dict ORDER is load-bearing: the round driver's gate runs the FIRST 50
+# entries (r3 VERDICT #1 — 14 catalog entries silently fell outside the
+# window). Ordering policy: (a) never-driver-verified and changed-this-round
+# entries first, (b) then entries green only in r2, (c) then the rest of the
+# catalog; long-stable multi-round-green scalar entries rotate out past 50
+# (they keep pytest + oracle SQL and rotate back in future rounds).
 QUERIES = {
+    # (a) never driver-verified before r4 / new / rewritten this round
+    "json_dump": q_json_dump,
+    "archive_duration": q_archive_duration,
+    "ivf_topk": q_ivf_topk,
+    "commit_csv": q_commit_csv,
+    "wacz_pages": q_wacz_pages,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_buckets": q_simhash_buckets,
+    # (b) green in r2 but unseen by the r3 window
+    "phash_pairs": q_phash_pairs,
+    "dedup_components": q_dedup_components,
+    "writeback_merge": q_writeback_merge,
+    "deletion_detect": q_deletion_detect,
+    "extractor_routing": q_extractor_routing,
+    "atlos_feed": q_atlos_feed,
+    "livestream_skip": q_livestream_skip,
+    "keys_to_clean": q_keys_to_clean,
+    "is_empty": q_is_empty,
+    "html_render": q_html_render,
+    "content_append": q_content_append,
+    # (c) r3-green catalog
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
-    "seen_set_except": q_seen_set_except,
     "url_canonicalize": q_url_canonicalize,
-    "url_host": q_url_host,
     "url_relevance": q_url_relevance,
-    "auth_wall": q_auth_wall,
     "url_best_quality": q_url_best_quality,
     "dedup_first_per_key": q_dedup_first_per_key,
     "most_complete": q_most_complete,
@@ -1368,26 +1583,11 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "media_totals": q_media_totals,
     "dedup_exact_text": q_dedup_exact_text,
-    "token_count": q_token_count,
-    "bpe_token_count": q_bpe_token_count,
-    "lang_guess": q_lang_guess,
-    "quality_score": q_quality_score,
-    "fingerprint": q_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
-    "storage_key": q_storage_key,
-    "filename_truncate": q_filename_truncate,
-    "timestamp_format": q_timestamp_format,
-    "human_bytes": q_human_bytes,
-    "pdq_list": q_pdq_list,
-    "first_match": q_first_match,
     "coalesce_merge": q_coalesce_merge,
-    "union_feeders": q_union_feeders,
-    "intersect_hosts": q_intersect_hosts,
     "thumbnail_plan": q_thumbnail_plan,
     "embedding_neighbors": q_embedding_neighbors,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash_buckets": q_simhash_buckets,
     "simhash_portable": q_simhash_portable,
     "minhash_signature": q_minhash_signature,
     "telegram_parse": q_telegram_parse,
@@ -1402,20 +1602,24 @@ QUERIES = {
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
-    "livestream_skip": q_livestream_skip,
-    "content_append": q_content_append,
-    "html_render": q_html_render,
-    "atlos_feed": q_atlos_feed,
-    "phash_pairs": q_phash_pairs,
-    "dedup_components": q_dedup_components,
-    "ivf_topk": q_ivf_topk,
-    "writeback_merge": q_writeback_merge,
-    "extractor_routing": q_extractor_routing,
-    "deletion_detect": q_deletion_detect,
-    "is_empty": q_is_empty,
-    "keys_to_clean": q_keys_to_clean,
-    "json_dump": q_json_dump,
-    "archive_duration": q_archive_duration,
+    # ---- entries 51+: rotated out of the gate window this round (all green
+    # in >=2 prior rounds; pytest + oracle SQL retained) ----
+    "seen_set_except": q_seen_set_except,
+    "url_host": q_url_host,
+    "auth_wall": q_auth_wall,
+    "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "lang_guess": q_lang_guess,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "storage_key": q_storage_key,
+    "filename_truncate": q_filename_truncate,
+    "timestamp_format": q_timestamp_format,
+    "human_bytes": q_human_bytes,
+    "pdq_list": q_pdq_list,
+    "first_match": q_first_match,
+    "union_feeders": q_union_feeders,
+    "intersect_hosts": q_intersect_hosts,
 }
 
 _TRACKERS_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','fbclid','gclid')"
@@ -1709,10 +1913,73 @@ ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
     """,
-    # minhash_lsh / simhash_buckets (xxhash64-based): rows-only driver check
-    # (DuckDB lacks xxhash64); the same sketch ALGEBRA is hash-verified by the
-    # md5-portable twins simhash_portable / minhash_signature below, and
-    # exact-value pytest coverage lives in tests/test_sketches.py.
+    # The xxhash64-based production sketches keep exact-value pytest coverage
+    # (tests/test_sketches.py); the gate entries below run the same algebra
+    # over the portable md5-int60 hash so DuckDB verifies rows+schema+hash.
+    "minhash_lsh": f"""
+        WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                   FROM documents),
+        wh AS (SELECT doc_id, words,
+                 list_transform(words,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_M}) AS wv
+               FROM w),
+        hm AS (SELECT doc_id,
+                CASE WHEN len(words) < 3
+                  THEN [('0x' || substr(md5(array_to_string(words, ' ')), 1, 15))::BIGINT
+                        % {_MH_M}]
+                  ELSE [((wv[i] * {_SH_A}) % {_MH_M} + (wv[i+1] * {_SH_B}) % {_MH_M}
+                         + wv[i+2]) % {_MH_M}
+                        for i in generate_series(1, len(words) - 2)] END AS hs
+               FROM wh),
+        mins AS (SELECT doc_id, {", ".join(
+            f"list_min(list_transform(hs, x -> ({a}::BIGINT * x + {b}) % {_MH_P}))"
+            f" AS m{i}" for i, (a, b) in enumerate(_MH_PERMS))}
+                 FROM hm),
+        bands AS (SELECT doc_id, u.band AS band, u.key AS key
+                  FROM mins, unnest([{", ".join(
+                      f"{{'band': {bnd}, 'key': m{2 * bnd}::VARCHAR || '_' || "
+                      f"m{2 * bnd + 1}::VARCHAR}}" for bnd in range(8))}]) AS t(u)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        sets AS (SELECT doc_id, list_distinct(hs) AS sh FROM hm)
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(x.sh, y.sh))::BIGINT AS inter,
+               len(list_distinct(x.sh || y.sh))::BIGINT AS uni
+        FROM cand c JOIN sets x ON x.doc_id = c.id_a JOIN sets y ON y.doc_id = c.id_b
+        WHERE 2 * len(list_intersect(x.sh, y.sh)) >= len(list_distinct(x.sh || y.sh))
+    """,
+    "simhash_buckets": """
+        WITH t AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+        v AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS vote
+              FROM h CROSS JOIN generate_series(0, 59) AS g(j)
+              GROUP BY doc_id, j),
+        sig AS (SELECT doc_id,
+                  sum(CASE WHEN vote >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT
+                    AS simhash60
+                FROM v GROUP BY doc_id)
+        SELECT doc_id, simhash60, i AS block,
+               ((simhash60 >> (15 * i)::INT) & 32767)::BIGINT AS val
+        FROM sig CROSS JOIN generate_series(0, 3) AS b(i)
+    """,
+    "commit_csv": """
+        SELECT doc_id::VARCHAR AS doc_id, source, 'archived ' || doc_id AS status
+        FROM documents
+    """,
+    "wacz_pages": """
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN NULL
+               WHEN doc_id % 2 = 0 THEN 'last ' || doc_id
+               ELSE 'first ' || doc_id END AS title,
+          CASE WHEN doc_id % 5 = 0 THEN NULL
+               WHEN doc_id % 4 = 0 THEN 'alpha ' || doc_id || chr(10) || 'beta ' || doc_id
+               WHEN doc_id % 2 = 0 THEN 'alpha ' || doc_id
+               ELSE NULL END AS content
+        FROM documents
+    """,
     "simhash_portable": """
         WITH t AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -170,3 +170,22 @@ def test_seed_state_bucket_filter_prunes_partitions(spark, tmp_path):
     n_all = io.read(spark, "seed_state").count()
     n_sub = pruned.count()
     assert 0 < n_sub < n_all
+
+
+def test_train_centroids_runs_no_count_job(spark, monkeypatch):
+    """r3 VERDICT #7: the default centroid build must not run an implicit
+    full count() job before sampling — the no-fraction path takes a bounded
+    head from every partition instead. Contract-asserted by making count()
+    explode."""
+    from pyspark.sql import DataFrame
+
+    from auto_archiver_spark.operators.similarity import train_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def boom(self):
+        raise AssertionError("count() job inside train_centroids")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    cents = train_centroids(emb, n_centroids=8)
+    assert len(cents) == 8 and cents.shape[1] > 1
