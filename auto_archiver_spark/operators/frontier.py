@@ -182,21 +182,28 @@ def politeness_admission(
     Broadcast-joins the tiny ``host_policy`` dim (J5 — no shuffle on the big
     side), computes the per-host budget for the wave
     (``min(max_tokens, wave_seconds/crawl_delay)``), ranks the host's URLs in
-    crawl order and admits the top-budget. Rows matching a robots_disallow
-    prefix are excluded *before* ranking (reported with admitted=false).
+    crawl order and admits the top-budget. Rows blocked by the host's robots
+    rules — RFC 9309 precedence via functions/robots.py robots_blocked_expr:
+    longest matching Disallow/Allow prefix wins, Allow wins length ties; a
+    policy without ``robots_allow`` degrades to any-prefix disallow — are
+    excluded *before* ranking (reported with admitted=false).
 
     Reference analog: the sequential loop is the degenerate global-budget-1
     case; FloodWait sleep telethon_extractor.py:108-110 is the only real
     politeness in the reference. Returns all rows with an ``admitted`` flag
     so the wave driver can defer the remainder to the next wave.
     """
+    from ..functions.robots import robots_blocked_expr  # noqa: PLC0415
+
     policy = F.broadcast(host_policy)
     joined = frontier.join(policy, "host", "left")
     path = F.regexp_extract(F.col("url_norm"), r"^[a-z]+://[^/?#]*([^?#]*)", 1)
-    disallowed = F.exists(
-        F.coalesce(F.col("robots_disallow"), F.array().cast("array<string>")),
-        lambda p: path.startswith(p),
+    allow = (
+        F.col("robots_allow")
+        if "robots_allow" in joined.columns
+        else F.array().cast("array<string>")
     )
+    disallowed = robots_blocked_expr(path, F.col("robots_disallow"), allow)
     budget = F.least(
         F.coalesce(F.col("max_tokens"), F.lit(1_000_000)),
         F.when(
@@ -219,7 +226,7 @@ def politeness_admission(
         .withColumn(
             "admitted", (~disallowed) & (F.col("_rank") <= budget)
         )
-        .drop("_rank", "robots_disallow", "max_tokens")
+        .drop("_rank", "robots_disallow", "robots_allow", "max_tokens")
     )
 
 

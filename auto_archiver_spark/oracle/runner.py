@@ -98,9 +98,20 @@ def run_oracle(
             sheet, row_idx, url, norm, host = item
             p = policies.get(host)
             path = re.sub(r"^[a-z]+://[^/?#]*", "", norm).split("?")[0]
-            if p and any(path.startswith(pref) for pref in p["robots_disallow"]):
-                res.robots_blocked.append(norm)
-                continue
+            # RFC 9309 precedence (functions/robots.py twin): longest
+            # matching rule wins, Allow wins length ties
+            if p:
+                best_dis = max(
+                    (len(x) for x in p["robots_disallow"] if path.startswith(x)),
+                    default=-1,
+                )
+                best_alw = max(
+                    (len(x) for x in p.get("robots_allow", []) if path.startswith(x)),
+                    default=-1,
+                )
+                if best_dis > best_alw:
+                    res.robots_blocked.append(norm)
+                    continue
             if budgets[host] > 0:
                 budgets[host] -= 1
                 admitted.append(item)

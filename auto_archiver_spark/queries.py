@@ -1548,8 +1548,79 @@ def q_wacz_pages(spark, sf):
 # entries first, (b) then entries green only in r2, (c) then the rest of the
 # catalog; long-stable multi-round-green scalar entries rotate out past 50
 # (they keep pytest + oracle SQL and rotate back in future rounds).
+def q_robots_parse(spark, sf):
+    """robots.txt parse + RFC 9309 match decision (functions/robots.py —
+    the politeness-policy half the north rule names; no reference analog,
+    the reference has no robots handling). Synthesize-then-parse: per event
+    row a robots.txt body is BUILT with native exprs (six shapes: exact-
+    agent group with Allow override + fractional Crawl-delay; *-only group;
+    exact-beats-* precedence; foreign-agent-only; empty-Disallow + integer
+    delay; stacked User-agent lines — plus comments and case noise), parsed
+    by the real parse_robots fold, and a path (five shapes) is judged by
+    robots_blocked_expr. The oracle computes policy + decision straight
+    from the generating params."""
+    from .functions.robots import parse_robots, robots_blocked_expr  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    k = F.pmod(eid, F.lit(6))
+    seg = F.pmod(eid, F.lit(7)).cast("string")
+    txt = (
+        F.when(
+            k == 0,
+            F.concat(
+                F.lit("# corp robots\nUser-agent: spark-archiver\nDisallow: /p"),
+                seg,
+                F.lit("\nAllow: /p"),
+                seg,
+                F.lit("/ok\nCrawl-delay: 1.5\n"),
+            ),
+        )
+        .when(k == 1, F.concat(F.lit("User-agent: *\nDisallow: /tmp"), seg, F.lit("\n")))
+        .when(
+            k == 2,
+            F.concat(
+                F.lit(
+                    "User-agent: *\nDisallow: /all\n\n"
+                    "USER-AGENT: Spark-Archiver\nDisallow: /x"
+                ),
+                seg,
+                F.lit("  # inline comment\n"),
+            ),
+        )
+        .when(k == 3, F.lit("User-agent: otherbot\nDisallow: /\n"))
+        .when(k == 4, F.lit("User-agent: spark-archiver\nDisallow:\nCrawl-delay: 2\n"))
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: otherbot\nUser-agent: spark-archiver\nDisallow: /y"),
+                seg,
+                F.lit("\n"),
+            )
+        )
+    )
+    m = F.pmod(eid, F.lit(5))
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p"), seg, F.lit("/ok/f.jpg")))
+        .when(m == 1, F.concat(F.lit("/p"), seg, F.lit("/secret")))
+        .when(m == 2, F.concat(F.lit("/tmp"), seg, F.lit("/z")))
+        .when(m == 3, F.concat(F.lit("/x"), seg))
+        .otherwise(F.concat(F.lit("/y"), seg, F.lit("/a")))
+    )
+    parsed = parse_robots(ev.select("event_id", txt.alias("robots_txt")))
+    return parsed.select(
+        "event_id",
+        F.array_join("robots_disallow", ",").alias("disallow_csv"),
+        F.array_join("robots_allow", ",").alias("allow_csv"),
+        "crawl_delay_ms",
+        robots_blocked_expr(
+            path, F.col("robots_disallow"), F.col("robots_allow")
+        ).alias("blocked"),
+    )
+
+
 QUERIES = {
     # (a) never driver-verified before r4 / new / rewritten this round
+    "robots_parse": q_robots_parse,
     "json_dump": q_json_dump,
     "archive_duration": q_archive_duration,
     "ivf_topk": q_ivf_topk,
@@ -1585,7 +1656,6 @@ QUERIES = {
     "dedup_exact_text": q_dedup_exact_text,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
-    "coalesce_merge": q_coalesce_merge,
     "thumbnail_plan": q_thumbnail_plan,
     "embedding_neighbors": q_embedding_neighbors,
     "simhash_portable": q_simhash_portable,
@@ -1604,6 +1674,7 @@ QUERIES = {
     "atlos_upload_dedup": q_atlos_upload_dedup,
     # ---- entries 51+: rotated out of the gate window this round (all green
     # in >=2 prior rounds; pytest + oracle SQL retained) ----
+    "coalesce_merge": q_coalesce_merge,
     "seen_set_except": q_seen_set_except,
     "url_host": q_url_host,
     "auth_wall": q_auth_wall,
@@ -1912,6 +1983,32 @@ ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 5) AS cos,
                round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+    "robots_parse": """
+        WITH b AS (
+          SELECT event_id, event_id % 6 AS k, (event_id % 7)::VARCHAR AS s,
+                 event_id % 5 AS m
+          FROM events),
+        pol AS (
+          SELECT event_id,
+            CASE k WHEN 0 THEN '/p' || s WHEN 1 THEN '/tmp' || s
+                   WHEN 2 THEN '/x' || s WHEN 5 THEN '/y' || s
+                   ELSE '' END AS dis,
+            CASE WHEN k = 0 THEN '/p' || s || '/ok' ELSE '' END AS alw,
+            CASE k WHEN 0 THEN 1500 WHEN 4 THEN 2000 END AS delay_ms,
+            CASE m WHEN 0 THEN '/p' || s || '/ok/f.jpg'
+                   WHEN 1 THEN '/p' || s || '/secret'
+                   WHEN 2 THEN '/tmp' || s || '/z'
+                   WHEN 3 THEN '/x' || s
+                   ELSE '/y' || s || '/a' END AS path
+          FROM b)
+        SELECT event_id, dis AS disallow_csv, alw AS allow_csv,
+               delay_ms::BIGINT AS crawl_delay_ms,
+               (CASE WHEN dis <> '' AND starts_with(path, dis)
+                     THEN length(dis) ELSE -1 END)
+               > (CASE WHEN alw <> '' AND starts_with(path, alw)
+                       THEN length(alw) ELSE -1 END) AS blocked
+        FROM pol
     """,
     # The xxhash64-based production sketches keep exact-value pytest coverage
     # (tests/test_sketches.py); the gate entries below run the same algebra

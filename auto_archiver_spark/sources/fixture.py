@@ -15,9 +15,11 @@ data:
   query-order/host-case duplicates (collapsed by canonicalization), ~5%
   invalid rows (per utils/url.py:12-45). Host distribution is Zipf-skewed:
   one hot host carries ~30% of rows (salting/politeness exercise).
-* ``host_policy(host, crawl_delay_ms, robots_disallow, max_tokens)`` — the
-  broadcast politeness dimension (SURVEY.md §2.4 J5; reference analog is the
-  FloodWait sleep, telethon_extractor.py:108-110).
+* ``host_policy(host, crawl_delay_ms, robots_disallow, robots_allow,
+  max_tokens)`` — the broadcast politeness dimension (SURVEY.md §2.4 J5;
+  reference analog is the FloodWait sleep, telethon_extractor.py:108-110).
+  ``robots_txt_for`` renders each host's policy as a real robots.txt body so
+  the table can be DERIVED by parsing (functions/robots.py).
 
 Everything is a pure function of (seed, i) — paramount for checkpoint-resume
 tests and for executor-side regeneration inside the fetch UDF (the "server"
@@ -45,7 +47,36 @@ HOSTS = [
 # crawl-delay assignments (ms) and robots path prefixes per host
 HOST_DELAYS = [0, 500, 1000, 0, 5000, 500, 1000, 0]
 HOST_DISALLOW = [["/private"], [], ["/admin", "/tmp"], [], [], ["/private"], [], []]
+# RFC 9309 Allow overrides (longest-match wins, allow wins ties): host 5
+# re-allows its /private/1* ids — a LIVE override (photos.example.gov gets
+# /private URLs), so crawl outcomes actually exercise the precedence; host
+# 2's allow is a no-op for fixture URLs (no /admin paths)
+HOST_ALLOW = [[], [], ["/admin/pub"], [], [], ["/private/1"], [], []]
 HOST_TOKENS = [64, 32, 16, 32, 4, 16, 8, 32]
+
+
+def robots_txt_for(j: int) -> str:
+    """A realistic robots.txt body for HOSTS[j] whose PARSE equals the
+    literal policy row (host_policy_rows) — groups, comments, case noise,
+    an irrelevant foreign-agent group, and a stacked-UA group. Lets tests
+    and the gate derive the policy table by actually parsing text
+    (functions/robots.py) instead of trusting the fixture."""
+    delay, dis, alw = HOST_DELAYS[j], HOST_DISALLOW[j], HOST_ALLOW[j]
+    lines = [
+        f"# robots for {HOSTS[j]}",
+        "User-agent: OtherBot",
+        "Disallow: /",
+        "",
+        "USER-AGENT: spark-archiver  # our product token",
+        "User-Agent: mirror-archiver",
+    ]
+    lines += [f"Disallow: {p}" for p in dis]
+    lines += [f"Allow: {p}" for p in alw]
+    if delay:
+        lines.append(f"Crawl-delay: {delay / 1000}")
+    if not dis:
+        lines.append("Disallow:")  # empty value = unrestricted (skipped)
+    return "\n".join(lines) + "\n"
 
 _FMTS = ("png", "jpeg")
 _WIDTHS = (64, 128, 256, 512)
@@ -174,6 +205,7 @@ def host_policy_rows() -> list[dict]:
             "host": h.lower(),
             "crawl_delay_ms": HOST_DELAYS[j],
             "robots_disallow": HOST_DISALLOW[j],
+            "robots_allow": HOST_ALLOW[j],
             "max_tokens": HOST_TOKENS[j],
         }
         for j, h in enumerate(HOSTS)
@@ -187,7 +219,8 @@ IMAGES_SCHEMA = (
 )
 FRONTIER_SEED_SCHEMA = "sheet string, row_idx long, url string, status string, folder string"
 HOST_POLICY_SCHEMA = (
-    "host string, crawl_delay_ms int, robots_disallow array<string>, max_tokens int"
+    "host string, crawl_delay_ms int, robots_disallow array<string>, "
+    "robots_allow array<string>, max_tokens int"
 )
 
 

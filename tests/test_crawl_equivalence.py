@@ -79,11 +79,19 @@ def test_content_dedup_no_sha_duplicates(crawl):
 def test_robots_never_fetched(crawl):
     spark, io, stats, oracle = crawl
     res = io.read(spark, "archive_results")
-    # /private is disallowed only on these two hosts (fixture host_policy)
-    for host in ("media.hotsite.example", "photos.example.gov"):
-        assert res.filter(
-            F.col("url_norm").startswith(f"https://{host}/private/")
-        ).isEmpty(), host
+    # /private is disallowed on these two hosts (fixture host_policy);
+    # photos.example.gov carries a LIVE RFC 9309 Allow override for
+    # /private/1* — those, and only those, may be fetched
+    assert res.filter(
+        F.col("url_norm").startswith("https://media.hotsite.example/private/")
+    ).isEmpty()
+    gov_private = res.filter(
+        F.col("url_norm").startswith("https://photos.example.gov/private/")
+    )
+    assert gov_private.filter(
+        ~F.col("url_norm").startswith("https://photos.example.gov/private/1")
+    ).isEmpty()
+    assert not gov_private.isEmpty()  # the Allow override is live, not a no-op
     assert sum(s.robots_blocked for s in stats) == len(oracle.robots_blocked)
 
 
