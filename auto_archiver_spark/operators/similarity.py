@@ -197,6 +197,79 @@ def ivf_topk_from_index(
     return cosine_topk(scan, query_vec, k, id_col, vec_col)
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.8,
+    block_bits: int = 4,
+    bucket_cap: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 5,
+) -> DataFrame:
+    """End-to-end embedding near-duplicate pairs — the embedding twin of
+    operators/dedup.py minhash_dedup: random-hyperplane signature
+    (embedding_lsh_signature) -> pigeonhole block buckets (two vectors
+    within hamming <= n_blocks-1 of each other share at least one exact
+    ``block_bits``-bit block) -> equi-join candidates (a<b, distinct,
+    bucket-capped like the MinHash path: over-cap buckets emit O(m) star
+    pairs instead of O(m²)) -> exact cosine verify at ``threshold``.
+
+    Scale shape: the only wide exchange is the groupBy on (block, val) —
+    O(n·n_blocks) skinny rows; the verify joins are pruned to candidate ids
+    before the vectors are touched, so cosine work is O(candidates), never
+    O(n²). Rounded cosine (``round_to``) keeps the verdict reproducible
+    cross-engine (the DuckDB oracle)."""
+    from .dedup import pairs_expr, star_pairs_expr  # noqa: PLC0415
+
+    n_blocks = max(1, len(planes) // block_bits)
+    sig = embedding_lsh_signature(embeddings, planes, vec_col).select(
+        F.col(id_col).alias("id"), "lsh_sig"
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("block"),
+                F.shiftrightunsigned(F.col("lsh_sig"), block_bits * i)
+                .bitwiseAND(F.lit((1 << block_bits) - 1).cast("long"))
+                .alias("val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = sig.select("id", F.explode(blocks).alias("b")).select(
+        "id", F.col("b.block").alias("block"), F.col("b.val").alias("val")
+    )
+    grouped = banded.groupBy("block", "val").agg(F.collect_list("id").alias("ids"))
+    capped = F.when(
+        F.size("ids") <= F.lit(bucket_cap), pairs_expr(F.col("ids"))
+    ).otherwise(star_pairs_expr(F.col("ids")))
+    pairs = (
+        grouped.filter(F.size("ids") > 1)
+        .select(F.explode(capped).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .distinct()
+        .localCheckpoint()  # tiny; the signature stage must not re-run per branch
+    )
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    vecs = embeddings.join(
+        F.broadcast(ids), embeddings[id_col] == ids["id"], "left_semi"
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    cos = F.round(cosine_expr(F.col("v_a"), F.col("v_b")), round_to)
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def embedding_lsh_signature(
     embeddings: DataFrame,
     planes: list[list[float]],

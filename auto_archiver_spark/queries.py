@@ -1548,6 +1548,39 @@ def q_wacz_pages(spark, sf):
 # entries first, (b) then entries green only in r2, (c) then the rest of the
 # catalog; long-stable multi-round-green scalar entries rotate out past 50
 # (they keep pytest + oracle SQL and rotate back in future rounds).
+def q_embedding_near_dup(spark, sf):
+    """End-to-end embedding near-dup pipeline (training-data tier):
+    random-hyperplane signature -> 3x4-bit pigeonhole block buckets ->
+    candidate pairs -> exact cosine verify >= 0.8
+    (operators/similarity.py embedding_near_dup_pairs — the embedding twin
+    of minhash_dedup). Planes = embedding rows vec_id 1..12, the same
+    derivable-by-both-engines convention as embedding_lsh/ivf_topk.
+
+    The driver's embeddings table is near-dup-free (max off-diagonal cosine
+    ~0.5 at sf0.01), so the corpus is augmented with PLANTED near-dups —
+    every 25th vector re-enters as vec_id+100000 with +0.01 on every
+    component (cos vs source ~0.999; deterministic double arithmetic both
+    engines) — making the reported pair set non-empty and the whole
+    candidate->verify path value-checked."""
+    from .operators.similarity import embedding_near_dup_pairs  # noqa: PLC0415
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.pmod("vec_id", F.lit(25)) == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    aug = emb.unionByName(planted)
+    rows = emb.filter(F.col("vec_id").between(1, 12)).select("vec_id", "embedding").collect()
+    planes = [list(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)]
+    # bucket_cap effectively off for the gate: the cross-engine oracle
+    # computes ALL bucket pairs; the production star-pair capping (the scale
+    # guard for degenerate buckets) is exact-value-tested in pytest
+    # (tests/test_similarity.py), like the MinHash path's cap
+    return embedding_near_dup_pairs(aug, planes, threshold=0.8, bucket_cap=1_000_000)
+
+
 def q_robots_parse(spark, sf):
     """robots.txt parse + RFC 9309 match decision (functions/robots.py —
     the politeness-policy half the north rule names; no reference analog,
@@ -1621,6 +1654,7 @@ def q_robots_parse(spark, sf):
 QUERIES = {
     # (a) never driver-verified before r4 / new / rewritten this round
     "robots_parse": q_robots_parse,
+    "embedding_near_dup": q_embedding_near_dup,
     "json_dump": q_json_dump,
     "archive_duration": q_archive_duration,
     "ivf_topk": q_ivf_topk,
@@ -1657,7 +1691,6 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "thumbnail_plan": q_thumbnail_plan,
-    "embedding_neighbors": q_embedding_neighbors,
     "simhash_portable": q_simhash_portable,
     "minhash_signature": q_minhash_signature,
     "telegram_parse": q_telegram_parse,
@@ -1674,6 +1707,7 @@ QUERIES = {
     "atlos_upload_dedup": q_atlos_upload_dedup,
     # ---- entries 51+: rotated out of the gate window this round (all green
     # in >=2 prior rounds; pytest + oracle SQL retained) ----
+    "embedding_neighbors": q_embedding_neighbors,
     "coalesce_merge": q_coalesce_merge,
     "seen_set_except": q_seen_set_except,
     "url_host": q_url_host,
@@ -1983,6 +2017,34 @@ ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 5) AS cos,
                round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+    "embedding_near_dup": """
+        WITH aug AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(embedding::DOUBLE[], x -> x + 0.01)
+          FROM embeddings WHERE vec_id % 25 = 0),
+        planes AS (
+          SELECT (vec_id - 1)::INT AS i, embedding::DOUBLE[] AS p
+          FROM embeddings WHERE vec_id BETWEEN 1 AND 12),
+        sig AS (
+          SELECT e.vec_id AS id,
+            sum(CASE WHEN round(list_cosine_similarity(e.v, pl.p), 6) >= 0
+                     THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS s
+          FROM aug e CROSS JOIN planes pl GROUP BY e.vec_id),
+        banded AS (
+          SELECT id, i AS block, ((s >> (4 * i)::INT) & 15)::BIGINT AS val
+          FROM sig CROSS JOIN generate_series(0, 2) AS g(i)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM banded a JOIN banded b
+                   ON a.block = b.block AND a.val = b.val AND a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(x.v, y.v), 5) AS cos
+        FROM cand c
+        JOIN aug x ON x.vec_id = c.id_a
+        JOIN aug y ON y.vec_id = c.id_b
+        WHERE round(list_cosine_similarity(x.v, y.v), 5) >= 0.8
     """,
     "robots_parse": """
         WITH b AS (

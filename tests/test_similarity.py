@@ -75,3 +75,54 @@ def test_embedding_lsh_locality(spark):
     assert sigs[0] == sigs[2]  # exact copy -> same bucket key
     assert bin(sigs[0] ^ sigs[1]).count("1") <= 2  # near-copy -> few bit flips
     assert bin(sigs[0] ^ sigs[3]).count("1") >= 3  # unrelated -> many
+
+
+def test_embedding_near_dup_exact_vs_numpy(emb, emb_np):
+    """Pipeline soundness: every reported pair must be a true cosine>=thr
+    pair (no false positives — the verify stage is exact), and every
+    all-blocks-shared near-dup must be found (signature hamming 0 always
+    shares a block)."""
+    from auto_archiver_spark.operators.similarity import embedding_near_dup_pairs
+
+    ids, X = emb_np
+    rows = sorted(
+        ((i, v) for i, v in zip(ids, X) if 1 <= i <= 12), key=lambda t: t[0]
+    )
+    planes = [list(v) for _, v in rows]
+    got = {
+        (r.id_a, r.id_b): r.cos
+        for r in embedding_near_dup_pairs(
+            emb, planes, threshold=0.8, bucket_cap=10**6
+        ).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = np.round(Xn @ Xn.T, 5)
+    for (a, b), c in got.items():
+        ia, ib = np.flatnonzero(ids == a)[0], np.flatnonzero(ids == b)[0]
+        assert cos[ia, ib] >= 0.8, (a, b)
+        assert abs(cos[ia, ib] - c) < 1e-9
+    # completeness for identical-signature pairs: sig hamming 0 -> candidate
+    P = np.array(planes, dtype=np.float64)
+    Pn = P / np.linalg.norm(P, axis=1, keepdims=True)
+    sigs = (np.round(Xn @ Pn.T, 6) >= 0) @ (1 << np.arange(12))
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if sigs[i] == sigs[j] and cos[i, j] >= 0.8:
+                key = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                assert key in got, key
+
+
+def test_embedding_near_dup_bucket_cap_star_pairs(spark):
+    """Over-cap buckets must emit O(m) star pairs: identical vectors all
+    land in one bucket; with cap=2 the pair count is m-1 (star), not
+    m(m-1)/2, and every member still connects to the representative."""
+    from auto_archiver_spark.operators.similarity import embedding_near_dup_pairs
+
+    m = 8
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(m)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.0, 0.0, 0.0]] * 12  # all vectors -> same signature
+    pairs = embedding_near_dup_pairs(df, planes, threshold=0.8, bucket_cap=2).collect()
+    assert len(pairs) == m - 1
+    assert all(r.id_a == 0 for r in pairs)  # rep = min id
+    assert all(r.cos == 1.0 for r in pairs)
