@@ -352,17 +352,13 @@ def q_fingerprint(spark, sf):
 
 def q_ngram_jaccard(spark, sf):
     """Exact word-3-gram Jaccard between consecutive docs (near-dup verify
-    stage). Shingles are hashed to portable 60-bit ints (md5-prefix — the one
-    hash both engines share) before the self-join: the exchange carries int64
-    arrays instead of strings (~3-5x fewer bytes at 100 TB)."""
-    d = load(spark, sf, "documents").select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                word_ngrams_expr(F.col("text"), 3),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-            )
-        ).alias("sh"),
+    stage). Shingles are the portable hashed 3-grams of _shingle_hash_df —
+    one md5 per WORD plus an arithmetic triple combiner, so the shingle
+    stage never allocates per-shingle strings and the self-join exchange
+    carries int64 arrays (~3-5x fewer bytes at 100 TB). The oracle runs the
+    identical combiner, so even hash collisions mirror exactly."""
+    d = _shingle_hash_df(load(spark, sf, "documents"), "doc_id").select(
+        "doc_id", F.array_distinct("hs").alias("sh")
     ).localCheckpoint()  # materialize shingles ONCE; both join sides reuse
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("sh").alias("sh_b"))
@@ -1922,13 +1918,20 @@ ORACLE = {
         SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
     """,
-    "ngram_jaccard": """
-        WITH sh AS (SELECT doc_id, list_distinct(
-            [('0x' || substr(md5(s), 1, 15))::BIGINT for s in
-             CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                  ELSE [array_to_string(w[i:i+2], ' ') for i in generate_series(1, len(w)-2)]
-             END]) AS sh
-          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents))
+    "ngram_jaccard": f"""
+        WITH wh AS (SELECT doc_id, words,
+                 list_transform(words,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_M}) AS wv
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words
+                FROM documents)),
+        sh AS (SELECT doc_id, list_distinct(
+             CASE WHEN len(words) < 3
+               THEN [('0x' || substr(md5(array_to_string(words, ' ')), 1, 15))::BIGINT
+                     % {_MH_M}]
+               ELSE [((wv[i] * {_SH_A}) % {_MH_M} + (wv[i+1] * {_SH_B}) % {_MH_M}
+                      + wv[i+2]) % {_MH_M}
+                     for i in generate_series(1, len(words) - 2)] END) AS sh
+          FROM wh)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
                  THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
