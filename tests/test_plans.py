@@ -189,3 +189,22 @@ def test_train_centroids_runs_no_count_job(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "count", boom)
     cents = train_centroids(emb, n_centroids=8)
     assert len(cents) == 8 and cents.shape[1] > 1
+
+
+def test_robots_parse_stays_native(spark):
+    """The robots.txt parse fold is pure Catalyst — no Python eval in the
+    plan (policy refresh must be a narrow JVM projection at any scale)."""
+    from auto_archiver_spark.queries import q_robots_parse
+
+    plan = _plan(q_robots_parse(spark, SF), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_embedding_near_dup_no_cartesian(spark):
+    """The embedding near-dup candidate stage must be a bucket equi-join —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan."""
+    from auto_archiver_spark.queries import q_embedding_near_dup
+
+    plan = _plan(q_embedding_near_dup(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
