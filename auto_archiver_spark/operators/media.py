@@ -23,6 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 
 def explode_media(
@@ -53,3 +60,59 @@ def recollect_media(
         lambda s: s["m"],
     )
     return children.groupBy(*key_cols).agg(ordered.alias(media_col))
+
+
+def probe_media(df: DataFrame, id_cols: list[str], bytes_col: str = "bytes") -> DataFrame:
+    """F8 valid-media probe (reference core/media.py:108-130: ffprobe stream
+    check for videos, decode verify for images, size-threshold fallback when
+    no prober exists): decode-verify each payload with the real codec and
+    report (probe_ok, probe_w, probe_h, probe_err).
+
+    ``probe_err`` is a coarse deterministic category — ``empty`` (null/zero
+    bytes) or ``decode_error`` — never an exception message, so downstream
+    filters and the cross-engine gate stay stable. Arrow-batched
+    ``mapInPandas``; only the per-payload decode loops (payload decode is
+    genuinely per-row work, like the fetch UDF)."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions.codec import decode_image  # noqa: PLC0415
+
+    out_schema = StructType(
+        list(df.select(*id_cols).schema.fields)
+        + [
+            StructField("probe_ok", BooleanType()),
+            StructField("probe_w", IntegerType()),
+            StructField("probe_h", IntegerType()),
+            StructField("probe_err", StringType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            n = len(pdf)
+            ok = [False] * n
+            w = [None] * n
+            h = [None] * n
+            err = [None] * n
+            payloads = pdf[bytes_col].to_numpy()
+            for i in range(n):
+                b = payloads[i]
+                if b is None or len(b) == 0:
+                    err[i] = "empty"
+                    continue
+                try:
+                    px = decode_image(bytes(b))
+                    ok[i] = True
+                    h[i], w[i] = int(px.shape[0]), int(px.shape[1])
+                except Exception:  # noqa: BLE001 — any decode failure is the signal
+                    err[i] = "decode_error"
+            out["probe_ok"] = pd.Series(ok, index=pdf.index)
+            out["probe_w"] = pd.Series(w, index=pdf.index, dtype="object")
+            out["probe_h"] = pd.Series(h, index=pdf.index, dtype="object")
+            out["probe_err"] = pd.Series(err, index=pdf.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(probe, out_schema)

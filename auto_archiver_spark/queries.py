@@ -1544,6 +1544,48 @@ def q_wacz_pages(spark, sf):
 # entries first, (b) then entries green only in r2, (c) then the rest of the
 # catalog; long-stable multi-round-green scalar entries rotate out past 50
 # (they keep pytest + oracle SQL and rotate back in future rounds).
+def q_media_probe(spark, sf):
+    """F8 valid-media probe (core/media.py:108-130), synthesize-then-probe:
+    per doc, payload bytes are built with the REAL codec — valid PNG, valid
+    QJPG, truncated PNG, garbage, or NULL by doc_id%5 — then judged by
+    operators/media.py probe_media (decode-verify, coarse deterministic
+    error category). The oracle computes (ok, w, h, err) straight from the
+    generating params."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from .functions.codec import encode_image  # noqa: PLC0415
+    from .operators.media import probe_media  # noqa: PLC0415
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                did = int(raw)
+                k = did % 5
+                w, h = 4 + did % 3, 3 + did % 4
+                px = np.full((h, w, 3), (did * 7) % 256, dtype=np.uint8)
+                if k == 0:
+                    b = encode_image(px, "png")
+                elif k == 1:
+                    b = encode_image(px, "jpeg")
+                elif k == 2:
+                    b = encode_image(px, "png")[:15]  # truncated container
+                elif k == 3:
+                    b = b"garbage-%d" % did
+                else:
+                    b = None
+                rows.append({"doc_id": did, "bytes": b})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "bytes"])
+
+    payloads = load(spark, sf, "documents").select("doc_id").mapInPandas(
+        make, "doc_id long, bytes binary"
+    )
+    return probe_media(payloads, ["doc_id"])
+
+
 def q_embedding_near_dup(spark, sf):
     """End-to-end embedding near-dup pipeline (training-data tier):
     random-hyperplane signature -> 3x4-bit pigeonhole block buckets ->
@@ -1651,6 +1693,7 @@ QUERIES = {
     # (a) never driver-verified before r4 / new / rewritten this round
     "robots_parse": q_robots_parse,
     "embedding_near_dup": q_embedding_near_dup,
+    "media_probe": q_media_probe,
     "json_dump": q_json_dump,
     "archive_duration": q_archive_duration,
     "ivf_topk": q_ivf_topk,
@@ -1686,7 +1729,6 @@ QUERIES = {
     "dedup_exact_text": q_dedup_exact_text,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
-    "thumbnail_plan": q_thumbnail_plan,
     "simhash_portable": q_simhash_portable,
     "minhash_signature": q_minhash_signature,
     "telegram_parse": q_telegram_parse,
@@ -1703,6 +1745,7 @@ QUERIES = {
     "atlos_upload_dedup": q_atlos_upload_dedup,
     # ---- entries 51+: rotated out of the gate window this round (all green
     # in >=2 prior rounds; pytest + oracle SQL retained) ----
+    "thumbnail_plan": q_thumbnail_plan,
     "embedding_neighbors": q_embedding_neighbors,
     "coalesce_merge": q_coalesce_merge,
     "seen_set_except": q_seen_set_except,
@@ -2020,6 +2063,15 @@ ORACLE = {
                round(list_cosine_similarity(a.v, b.v), 5) AS cos,
                round(list_cosine_similarity(a.v, b.v), 5) >= 0.8 AS near_dup
         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+    "media_probe": """
+        SELECT doc_id,
+          (doc_id % 5) IN (0, 1) AS probe_ok,
+          CASE WHEN doc_id % 5 IN (0, 1) THEN (4 + doc_id % 3)::INT END AS probe_w,
+          CASE WHEN doc_id % 5 IN (0, 1) THEN (3 + doc_id % 4)::INT END AS probe_h,
+          CASE WHEN doc_id % 5 = 4 THEN 'empty'
+               WHEN doc_id % 5 IN (2, 3) THEN 'decode_error' END AS probe_err
+        FROM documents
     """,
     "embedding_near_dup": """
         WITH aug AS (

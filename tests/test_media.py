@@ -44,3 +44,32 @@ def test_explode_process_recollect(spark):
     assert got[1] == [("A", 11), ("B", 21), ("C", 31)]
     assert got[2] == []
     assert got[4][:3] == [("M0", 1), ("M1", 2), ("M2", 3)]
+
+
+def test_probe_media_categories(spark):
+    """F8 decode-verify probe: valid containers report ok+dims; truncated/
+    garbage report decode_error; null/empty report empty."""
+    import numpy as np
+
+    from auto_archiver_spark.functions.codec import encode_image
+    from auto_archiver_spark.operators.media import probe_media
+
+    px = np.zeros((5, 7, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_image(px, "png"))),
+        (2, bytearray(encode_image(px, "jpeg"))),
+        (3, bytearray(encode_image(px, "png")[:12])),
+        (4, bytearray(b"not an image")),
+        (5, None),
+        (6, bytearray(b"")),
+    ]
+    df = spark.createDataFrame(rows, "id long, bytes binary")
+    got = {r.id: r for r in probe_media(df, ["id"]).collect()}
+    for i in (1, 2):
+        assert got[i].probe_ok and (got[i].probe_w, got[i].probe_h) == (7, 5)
+        assert got[i].probe_err is None
+    for i in (3, 4):
+        assert not got[i].probe_ok and got[i].probe_err == "decode_error"
+        assert got[i].probe_w is None
+    for i in (5, 6):
+        assert not got[i].probe_ok and got[i].probe_err == "empty"
