@@ -16,13 +16,18 @@ Semantics implemented (documented subset):
   stack onto one group.
 * ``#`` comments (anywhere in a line), blank lines, case-insensitive field
   names, whitespace tolerance.
-* ``Disallow`` / ``Allow`` path prefixes; an empty ``Disallow:`` value
-  means unrestricted (skipped). Matching is 1994-style *prefix* match with
-  RFC 9309 precedence: the LONGEST matching rule wins, ``Allow`` wins
-  length ties. (``*``/``$`` wildcards are out of scope — declared, like the
-  reference's absent robots support.)
+* ``Disallow`` / ``Allow`` path rules; an empty ``Disallow:`` value means
+  unrestricted (skipped). Matching implements RFC 9309 §2.2.2-§2.2.3 in
+  full: ``*`` matches any character sequence, a TRAILING ``$`` anchors the
+  end of the path (a mid-rule ``$`` is literal), everything else is a
+  literal prefix. Precedence: the matching rule with the most octets (rule
+  length, wildcards counted — RFC 9309 §2.2.2) wins; ``Allow`` wins length
+  ties. Wildcard-free rules keep the native ``startsWith`` fast path;
+  wildcard rules translate to an anchored regex inside the same Catalyst
+  lambda (no Python).
 * ``Crawl-delay`` (non-RFC but ubiquitous): seconds, fractional allowed;
-  last matched-group value wins; exported as ``crawl_delay_ms``.
+  last *parseable* matched-group value wins (malformed values are ignored,
+  they never clear an earlier valid delay); exported as ``crawl_delay_ms``.
 
 Everything is native Catalyst (split / transform / aggregate folds — no
 Python in the plan), so policy refresh is a narrow projection over a
@@ -95,8 +100,11 @@ def parse_robots(
             rule_on & (field == F.lit("allow")) & (value != F.lit("")),
             F.array_append(acc["alw"], value),
         ).otherwise(acc["alw"])
+        # coalesce: a malformed Crawl-delay value must be IGNORED, not
+        # overwrite a previously parsed valid delay with NULL (r4 ADVICE)
         delay = F.when(
-            rule_on & (field == F.lit("crawl-delay")), value.try_cast("double")
+            rule_on & (field == F.lit("crawl-delay")),
+            F.coalesce(value.try_cast("double"), acc["delay"]),
         ).otherwise(acc["delay"])
         return F.struct(
             applies.alias("applies"),
@@ -126,15 +134,41 @@ def parse_robots(
     )
 
 
-def longest_match_expr(path: Column, prefixes: Column) -> Column:
-    """Length of the longest prefix in ``prefixes`` matching ``path``
-    (-1 when none match). Null prefix arrays behave as empty."""
-    safe = F.coalesce(prefixes, F.array().cast("array<string>"))
+def rule_match_expr(path: Column, rule: Column) -> Column:
+    """True iff the RFC 9309 rule matches ``path`` (§2.2.2-§2.2.3):
+    ``*`` matches any character sequence, a single TRAILING ``$`` anchors
+    the end of the path (mid-rule ``$`` is literal), everything else is a
+    literal prefix. Wildcard-free rules stay on the native ``startsWith``
+    fast path; wildcard rules are translated to an anchored Java regex in
+    the same Catalyst expression (escape metachars, then ``*`` → ``.*``) —
+    no Python either way."""
+    anchored = rule.endswith("$")
+    body = F.when(anchored, F.substring(rule, F.lit(1), F.length(rule) - 1)).otherwise(
+        rule
+    )
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    pat = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(
+        rule.contains("*") | anchored, F.regexp_like(path, pat)
+    ).otherwise(path.startswith(rule))
+
+
+def longest_match_expr(path: Column, rules: Column) -> Column:
+    """Length in octets of the longest rule in ``rules`` matching ``path``
+    (-1 when none match) — RFC 9309 §2.2.2 precedence counts the RULE's
+    length, wildcards included. Null rule arrays behave as empty."""
+    safe = F.coalesce(rules, F.array().cast("array<string>"))
     return F.coalesce(
         F.array_max(
             F.transform(
                 safe,
-                lambda p: F.when(path.startswith(p), F.length(p)).otherwise(F.lit(-1)),
+                lambda p: F.when(rule_match_expr(path, p), F.length(p)).otherwise(
+                    F.lit(-1)
+                ),
             )
         ),
         F.lit(-1),

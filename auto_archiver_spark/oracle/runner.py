@@ -44,6 +44,18 @@ def _host(url_norm: str) -> str:
     return re.sub(r":\d+$", "", h)
 
 
+def _rule_match(rule: str, path: str) -> bool:
+    """RFC 9309 §2.2.2-§2.2.3 twin of functions/robots.py rule_match_expr:
+    ``*`` matches any sequence, a trailing ``$`` anchors the end, everything
+    else is a literal prefix."""
+    if "*" in rule or rule.endswith("$"):
+        anchored = rule.endswith("$")
+        body = rule[:-1] if anchored else rule
+        pat = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+        return re.search(pat, path) is not None
+    return path.startswith(rule)
+
+
 def run_oracle(
     n_seed: int,
     wave_seconds: float = 60.0,
@@ -102,11 +114,11 @@ def run_oracle(
             # matching rule wins, Allow wins length ties
             if p:
                 best_dis = max(
-                    (len(x) for x in p["robots_disallow"] if path.startswith(x)),
+                    (len(x) for x in p["robots_disallow"] if _rule_match(x, path)),
                     default=-1,
                 )
                 best_alw = max(
-                    (len(x) for x in p.get("robots_allow", []) if path.startswith(x)),
+                    (len(x) for x in p.get("robots_allow", []) if _rule_match(x, path)),
                     default=-1,
                 )
                 if best_dis > best_alw:

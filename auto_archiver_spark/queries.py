@@ -1623,18 +1623,20 @@ def q_robots_parse(spark, sf):
     """robots.txt parse + RFC 9309 match decision (functions/robots.py —
     the politeness-policy half the north rule names; no reference analog,
     the reference has no robots handling). Synthesize-then-parse: per event
-    row a robots.txt body is BUILT with native exprs (six shapes: exact-
+    row a robots.txt body is BUILT with native exprs (eight shapes: exact-
     agent group with Allow override + fractional Crawl-delay; *-only group;
     exact-beats-* precedence; foreign-agent-only; empty-Disallow + integer
-    delay; stacked User-agent lines — plus comments and case noise), parsed
-    by the real parse_robots fold, and a path (five shapes) is judged by
-    robots_blocked_expr. The oracle computes policy + decision straight
-    from the generating params."""
+    delay; stacked User-agent lines; RFC 9309 ``*`` wildcard Disallow with a
+    longer wildcard Allow; trailing-``$`` anchored Disallow — plus comments
+    and case noise), parsed by the real parse_robots fold, and a path (nine
+    shapes, incl. wildcard-hit / allow-override / anchored-exact /
+    anchored-miss) is judged by robots_blocked_expr. The oracle computes
+    policy + decision straight from the generating params."""
     from .functions.robots import parse_robots, robots_blocked_expr  # noqa: PLC0415
 
     ev = load(spark, sf, "events")
     eid = F.col("event_id")
-    k = F.pmod(eid, F.lit(6))
+    k = F.pmod(eid, F.lit(8))
     seg = F.pmod(eid, F.lit(7)).cast("string")
     txt = (
         F.when(
@@ -1661,21 +1663,41 @@ def q_robots_parse(spark, sf):
         )
         .when(k == 3, F.lit("User-agent: otherbot\nDisallow: /\n"))
         .when(k == 4, F.lit("User-agent: spark-archiver\nDisallow:\nCrawl-delay: 2\n"))
-        .otherwise(
+        .when(
+            k == 5,
             F.concat(
                 F.lit("User-agent: otherbot\nUser-agent: spark-archiver\nDisallow: /y"),
                 seg,
                 F.lit("\n"),
+            ),
+        )
+        .when(
+            k == 6,
+            F.concat(
+                F.lit("User-agent: spark-archiver\nDisallow: /d"),
+                seg,
+                F.lit("/*.tmp\nAllow: /d"),
+                seg,
+                F.lit("/keep*.tmp\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: spark-archiver\nDisallow: /e"), seg, F.lit("$\n")
             )
         )
     )
-    m = F.pmod(eid, F.lit(5))
+    m = F.pmod(eid, F.lit(9))
     path = (
         F.when(m == 0, F.concat(F.lit("/p"), seg, F.lit("/ok/f.jpg")))
         .when(m == 1, F.concat(F.lit("/p"), seg, F.lit("/secret")))
         .when(m == 2, F.concat(F.lit("/tmp"), seg, F.lit("/z")))
         .when(m == 3, F.concat(F.lit("/x"), seg))
-        .otherwise(F.concat(F.lit("/y"), seg, F.lit("/a")))
+        .when(m == 4, F.concat(F.lit("/y"), seg, F.lit("/a")))
+        .when(m == 5, F.concat(F.lit("/d"), seg, F.lit("/keepA.tmp")))
+        .when(m == 6, F.concat(F.lit("/d"), seg, F.lit("/junk.tmp")))
+        .when(m == 7, F.concat(F.lit("/e"), seg))
+        .otherwise(F.concat(F.lit("/e"), seg, F.lit("/sub")))
     )
     parsed = parse_robots(ev.select("event_id", txt.alias("robots_txt")))
     return parsed.select(
@@ -2103,29 +2125,55 @@ ORACLE = {
     """,
     "robots_parse": """
         WITH b AS (
-          SELECT event_id, event_id % 6 AS k, (event_id % 7)::VARCHAR AS s,
-                 event_id % 5 AS m
+          SELECT event_id, event_id % 8 AS k, (event_id % 7)::VARCHAR AS s,
+                 event_id % 9 AS m
           FROM events),
         pol AS (
           SELECT event_id,
             CASE k WHEN 0 THEN '/p' || s WHEN 1 THEN '/tmp' || s
                    WHEN 2 THEN '/x' || s WHEN 5 THEN '/y' || s
+                   WHEN 6 THEN '/d' || s || '/*.tmp'
+                   WHEN 7 THEN '/e' || s || '$'
                    ELSE '' END AS dis,
-            CASE WHEN k = 0 THEN '/p' || s || '/ok' ELSE '' END AS alw,
+            CASE WHEN k = 0 THEN '/p' || s || '/ok'
+                 WHEN k = 6 THEN '/d' || s || '/keep*.tmp'
+                 ELSE '' END AS alw,
             CASE k WHEN 0 THEN 1500 WHEN 4 THEN 2000 END AS delay_ms,
             CASE m WHEN 0 THEN '/p' || s || '/ok/f.jpg'
                    WHEN 1 THEN '/p' || s || '/secret'
                    WHEN 2 THEN '/tmp' || s || '/z'
                    WHEN 3 THEN '/x' || s
-                   ELSE '/y' || s || '/a' END AS path
-          FROM b)
+                   WHEN 4 THEN '/y' || s || '/a'
+                   WHEN 5 THEN '/d' || s || '/keepA.tmp'
+                   WHEN 6 THEN '/d' || s || '/junk.tmp'
+                   WHEN 7 THEN '/e' || s
+                   ELSE '/e' || s || '/sub' END AS path
+          FROM b),
+        -- RFC 9309 rule matcher over the synthesized shapes (rule chars are
+        -- alnum / . with '*' wildcards and a trailing '$' anchor): strip the
+        -- trailing '$', escape '.', translate '*' -> '.*', anchor at start
+        hit AS (
+          SELECT *,
+            CASE WHEN dis = '' THEN FALSE
+                 WHEN dis LIKE '%*%' OR dis LIKE '%$' THEN regexp_matches(path,
+                   '^' || replace(replace(CASE WHEN dis LIKE '%$'
+                            THEN substr(dis, 1, length(dis) - 1) ELSE dis END,
+                          '.', '\\.'), '*', '.*')
+                   || CASE WHEN dis LIKE '%$' THEN '$' ELSE '' END)
+                 ELSE starts_with(path, dis) END AS dis_hit,
+            CASE WHEN alw = '' THEN FALSE
+                 WHEN alw LIKE '%*%' OR alw LIKE '%$' THEN regexp_matches(path,
+                   '^' || replace(replace(CASE WHEN alw LIKE '%$'
+                            THEN substr(alw, 1, length(alw) - 1) ELSE alw END,
+                          '.', '\\.'), '*', '.*')
+                   || CASE WHEN alw LIKE '%$' THEN '$' ELSE '' END)
+                 ELSE starts_with(path, alw) END AS alw_hit
+          FROM pol)
         SELECT event_id, dis AS disallow_csv, alw AS allow_csv,
                delay_ms::BIGINT AS crawl_delay_ms,
-               (CASE WHEN dis <> '' AND starts_with(path, dis)
-                     THEN length(dis) ELSE -1 END)
-               > (CASE WHEN alw <> '' AND starts_with(path, alw)
-                       THEN length(alw) ELSE -1 END) AS blocked
-        FROM pol
+               (CASE WHEN dis_hit THEN length(dis) ELSE -1 END)
+               > (CASE WHEN alw_hit THEN length(alw) ELSE -1 END) AS blocked
+        FROM hit
     """,
     # The xxhash64-based production sketches keep exact-value pytest coverage
     # (tests/test_sketches.py); the gate entries below run the same algebra

@@ -145,3 +145,75 @@ def test_admission_respects_allow_override(spark):
     assert rows["https://h.example/private/100"].admitted
     assert not rows["https://h.example/private/100"].robots_blocked
     assert rows["https://h.example/private/200"].robots_blocked
+
+
+@pytest.mark.parametrize(
+    ("path", "dis", "alw", "blocked"),
+    [
+        # '*' matches any sequence (RFC 9309 §2.2.3)
+        ("/a/x.php", ["/*.php"], [], True),
+        ("/a/x.phpx", ["/*.php"], [], True),  # no implicit end anchor
+        ("/a/x.png", ["/*.php"], [], False),
+        ("/fish/salmon.html", ["/fish*.html"], [], True),
+        ("/fishing", ["/fish*.html"], [], False),
+        # trailing '$' anchors the end
+        ("/exact", ["/exact$"], [], True),
+        ("/exact/sub", ["/exact$"], [], False),
+        ("/a/x.php", ["/*.php$"], [], True),
+        ("/a/x.phpx", ["/*.php$"], [], False),
+        # mid-rule '$' is a literal octet, not an anchor
+        ("/p$q/r", ["/p$q"], [], True),
+        ("/pq/r", ["/p$q"], [], False),
+        # regex metachars in rules are literal ('.' must not match any char)
+        ("/axb", ["/a.b"], [], False),
+        ("/a.b", ["/a.b"], [], True),
+        # precedence counts RULE octets, wildcards included: the 11-octet
+        # wildcard Allow outranks the 5-octet literal Disallow
+        ("/d/keep.tmp", ["/d/ke"], ["/d/*eep.tmp"], False),
+        # wildcard Disallow blocked when no longer Allow matches
+        ("/d/junk.tmp", ["/d/*.tmp"], ["/d/keep*.tmp"], True),
+        ("/d/keepA.tmp", ["/d/*.tmp"], ["/d/keep*.tmp"], False),
+    ],
+)
+def test_wildcard_match_rfc9309(spark, path, dis, alw, blocked):
+    df = spark.createDataFrame(
+        [(path, dis, alw)], "p string, d array<string>, a array<string>"
+    )
+    got = (
+        df.select(robots_blocked_expr(F.col("p"), F.col("d"), F.col("a")).alias("b"))
+        .collect()[0]
+        .b
+    )
+    assert got is blocked
+
+
+def test_wildcard_oracle_twin_agrees(spark):
+    """functions/robots.py rule_match_expr and the oracle runner's Python
+    twin must judge identical (rule, path) grids identically — the crawl
+    equivalence tests depend on this."""
+    from auto_archiver_spark.functions.robots import rule_match_expr
+    from auto_archiver_spark.oracle.runner import _rule_match
+
+    rules = ["/p", "/*.php", "/fish*.html", "/exact$", "/*.php$", "/p$q", "/a.b", "*"]
+    paths = ["/p/x", "/a/x.php", "/a/x.phpx", "/fish/salmon.html", "/fishing",
+             "/exact", "/exact/sub", "/p$q/r", "/axb", "/a.b", "/"]
+    grid = [(r, p) for r in rules for p in paths]
+    df = spark.createDataFrame(grid, "rule string, path string")
+    got = df.select(
+        "rule", "path", rule_match_expr(F.col("path"), F.col("rule")).alias("hit")
+    ).collect()
+    for row in got:
+        assert row.hit == _rule_match(row.rule, row.path), (row.rule, row.path)
+
+
+def test_malformed_crawl_delay_is_ignored(spark):
+    """r4 ADVICE regression: an unparseable Crawl-delay must not clear a
+    previously parsed valid delay; a later VALID value still wins."""
+    dis, alw, delay = _parse_one(
+        spark, "User-agent: spark-archiver\nCrawl-delay: 2\nCrawl-delay: fast\n"
+    )
+    assert delay == 2000
+    _, _, delay = _parse_one(
+        spark, "User-agent: spark-archiver\nCrawl-delay: junk\nCrawl-delay: 3\n"
+    )
+    assert delay == 3000

@@ -126,3 +126,27 @@ def test_embedding_near_dup_bucket_cap_star_pairs(spark):
     assert len(pairs) == m - 1
     assert all(r.id_a == 0 for r in pairs)  # rep = min id
     assert all(r.cos == 1.0 for r in pairs)
+
+
+def test_train_centroids_default_sample_unbiased_within_partition(spark):
+    """r4 ADVICE regression: the default (no-fraction) sample path must not
+    take partition HEADS — on sorted/clustered data that sees only cluster A.
+    Each partition here leads with vector-A rows and hides vector-B rows in
+    the tail; the reservoir must surface B so some centroid lands near it."""
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [0.0] * (dim - 1) + [1.0]
+    rows = []
+    for p in range(2):
+        rows += [(p * 1000 + i, a) for i in range(500)]
+        rows += [(p * 1000 + 500 + i, b) for i in range(500)]
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartitionByRange(2, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .localCheckpoint()
+    )
+    cents = train_centroids(df, n_centroids=4, sample=16)
+    bn = np.asarray(b) / np.linalg.norm(b)
+    best = max(float(c @ bn) for c in cents)
+    assert best > 0.9, f"cluster B never sampled (best cos {best})"

@@ -160,3 +160,50 @@ def test_phash_bucket_cap_star_pairs(spark):
                    for a, b in edges)
     # the hamming-2 neighbor still pairs with the rep
     assert (rep, "img-zzz") in edges
+
+
+def test_hashed_shingle_combiner_no_periodic_cancellation(spark):
+    """r4 ADVICE regression: the old xor-rotate mix used rotation
+    (7j+1)%63, which repeats with period 9, so a window whose j-th and
+    (j+9)-th words were equal hashed identically regardless of WHICH word
+    they were. The xxhash64 window combiner must distinguish them."""
+    from auto_archiver_spark.operators.dedup import hashed_word_ngrams_df
+
+    mid = "a b c d e f g h"  # 8 shared middle words
+    df = spark.createDataFrame(
+        [(0, f"x {mid} x"), (1, f"y {mid} y")], "doc_id long, text string"
+    )
+    hs = {r.id: list(r.hs) for r in hashed_word_ngrams_df(df, n=10).collect()}
+    assert len(hs[0]) == 1 and len(hs[1]) == 1
+    assert hs[0][0] != hs[1][0], "periodic xor cancellation is back"
+
+
+def test_hashed_shingles_jaccard_matches_string_shingles(spark):
+    """Hashed-window Jaccard must equal string-shingle Jaccard on a
+    collision-free corpus (the equivalence ngram_jaccard relies on)."""
+    from auto_archiver_spark.operators.dedup import (
+        hashed_word_ngrams_df,
+        word_ngrams_expr,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog tomorrow"),
+        (2, "completely different words in this one here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hashed = {
+        r.id: set(r.hs) for r in hashed_word_ngrams_df(df, n=3).collect()
+    }
+    strings = {
+        r.doc_id: set(r.sh)
+        for r in df.select(
+            "doc_id", word_ngrams_expr(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+
+    def jac(d, a, b):
+        return len(d[a] & d[b]) / len(d[a] | d[b])
+
+    for a, b in [(0, 1), (0, 2), (1, 2)]:
+        assert jac(hashed, a, b) == pytest.approx(jac(strings, a, b))
