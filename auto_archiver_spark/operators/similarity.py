@@ -52,9 +52,12 @@ def train_centroids(
     vec_col="embedding",
     sample: int = 2048,
     sample_fraction: float | None = None,
+    lloyd_iters: int = 1,
 ) -> np.ndarray:
-    """Seeded centroid init + one Lloyd step on a bounded sample (driver-side
-    work is O(sample x dim), independent of table size).
+    """Seeded centroid init + ``lloyd_iters`` Lloyd steps on a bounded sample
+    (driver-side work is O(lloyd_iters x sample x dim), independent of table
+    size; extra iterations tighten buckets -> higher recall at equal nprobe,
+    see BENCH.md IVF recall table).
 
     The sample must cover ALL partitions — a bare ``limit`` reads only the
     first partitions and biases the centroids toward whatever happens to
@@ -97,12 +100,13 @@ def train_centroids(
     X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
     rng = np.random.default_rng(42)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
-    assign = np.argmax(X @ cents.T, axis=1)
-    for c in range(len(cents)):
-        members = X[assign == c]
-        if len(members):
-            cents[c] = members.mean(axis=0)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
+    for _ in range(max(1, lloyd_iters)):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-12
     return cents
 
 

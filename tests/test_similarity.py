@@ -128,6 +128,48 @@ def test_embedding_near_dup_bucket_cap_star_pairs(spark):
     assert all(r.cos == 1.0 for r in pairs)
 
 
+def test_ivf_recall_bound_on_clustered_fixture(spark):
+    """r4 verdict #6: recall@10 >= 0.9 at nprobe=4 on a clustered corpus
+    (the data shape IVF exists for). 8 well-separated 16-dim clusters,
+    1600 vectors; query = a perturbed member of cluster 5."""
+    from auto_archiver_spark.operators.similarity import (
+        assign_buckets,
+        cosine_topk,
+        ivf_topk,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 4.0
+    rows = []
+    for i in range(1600):
+        c = i % 8
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(16) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4).localCheckpoint()
+    q = [float(x) for x in centers[5] + 0.05]
+
+    exact = [r.vec_id for r in cosine_topk(df, q, 10).collect()]
+    cents = train_centroids(df, n_centroids=16, sample=1024, lloyd_iters=2)
+    bucketed = assign_buckets(df, cents)
+    got = {r.vec_id for r in ivf_topk(bucketed, cents, q, 10, nprobe=4).collect()}
+    recall = len(got & set(exact)) / 10
+    assert recall >= 0.9, f"recall@10={recall} at nprobe=4"
+
+
+def test_train_centroids_extra_lloyd_iter_deterministic(spark):
+    """lloyd_iters param: deterministic, and iters=1 path unchanged from the
+    single-step behavior the ivf gate relies on."""
+    from auto_archiver_spark.operators.similarity import train_centroids
+
+    rows = [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").localCheckpoint()
+    a = train_centroids(df, n_centroids=4, sample=128, lloyd_iters=2)
+    b = train_centroids(df, n_centroids=4, sample=128, lloyd_iters=2)
+    assert np.allclose(a, b)
+    one = train_centroids(df, n_centroids=4, sample=128)
+    assert one.shape == (4, 8)
+
+
 def test_train_centroids_default_sample_unbiased_within_partition(spark):
     """r4 ADVICE regression: the default (no-fraction) sample path must not
     take partition HEADS — on sorted/clustered data that sees only cluster A.
