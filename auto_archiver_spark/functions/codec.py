@@ -169,6 +169,39 @@ def hamming64(a: int, b: int) -> int:
 _PDQ_DCT: np.ndarray | None = None
 
 
+def _box1d(a: np.ndarray, wsz: int, axis: int) -> np.ndarray:
+    """Centered box-mean with truncated edges along ``axis`` (the published
+    PDQ box1D semantics: out[i] = mean(in[i-(w-1)//2 : i+w//2+1] ∩ bounds),
+    edge windows normalized by their actual size), via one cumsum."""
+    if wsz <= 1:
+        return a
+    a = np.moveaxis(a, axis, 0)
+    n = a.shape[0]
+    idx = np.arange(n)
+    lo = np.maximum(0, idx - (wsz - 1) // 2)
+    hi = np.minimum(n, idx + wsz // 2 + 1)
+    c = np.concatenate([np.zeros((1,) + a.shape[1:]), np.cumsum(a, axis=0)])
+    out = (c[hi] - c[lo]) / (hi - lo).reshape(-1, *([1] * (a.ndim - 1)))
+    return np.moveaxis(out, 0, axis)
+
+
+def _jarosz_downsample_64(gray: np.ndarray) -> np.ndarray:
+    """The published PDQ downsample: two passes of (horizontal box, vertical
+    box) with window ``ceil(dim/128)`` per dimension — two box passes = the
+    Jarosz tent filter — then POINT decimation at ``(i+0.5)*dim/64``
+    (pdq/cpp/hashing/pdqhashing.cpp jaroszFilterFloat + decimateFloat)."""
+    h, w = gray.shape
+    win_rows = (w + 127) // 128  # window for the horizontal pass
+    win_cols = (h + 127) // 128  # window for the vertical pass
+    buf = gray.astype(np.float64)
+    for _ in range(2):
+        buf = _box1d(buf, win_rows, axis=1)
+        buf = _box1d(buf, win_cols, axis=0)
+    ri = ((np.arange(64) + 0.5) * h / 64).astype(np.int64)
+    ci = ((np.arange(64) + 0.5) * w / 64).astype(np.int64)
+    return buf[np.ix_(ri, ci)]
+
+
 def _pdq_dct_matrix() -> np.ndarray:
     """16x64 DCT-II basis over output frequencies 1..16 — PDQ keeps the 16x16
     low-frequency block EXCLUDING the DC row/column (the published PDQ spec,
@@ -186,17 +219,22 @@ def pdq256(pixels: np.ndarray) -> tuple[str, int]:
     algorithm (reference consumes it via the pdqhash lib,
     modules/pdq_hash_enricher/pdq_hash_enricher.py:48-62):
 
-      luminance (REC.601) -> 64x64 low-pass downsample -> 16x16 DCT-II block
-      at frequencies 1..16 -> median threshold -> 256 bits (row-major,
-      MSB-first); quality = % of downsample gradients above threshold.
+      luminance (REC.601) -> two-pass Jarosz box filter (window
+      ceil(dim/128) per dimension) -> point decimation to 64x64 -> 16x16
+      DCT-II block at frequencies 1..16 -> median threshold -> 256 bits
+      (row-major, MSB-first); quality = the published gradient heuristic
+      (sum of |Δ|·100/255 over both directions of the 64x64 buffer, /90,
+      capped at 100).
 
-    Declared deviation (no pdqhash in-sandbox to verify bit parity): the
-    downsample is the deterministic area-mean kernel instead of the spec's
-    two-pass Jarosz tent filter — both are low-pass; the DCT/median/bit
-    pipeline is the spec's. Returns (64-char hex, quality 0..100).
+    Filter, decimation, DCT, median and quality all follow the published
+    pdq/cpp implementation (ThreatExchange pdqhashing.cpp). Declared
+    residual (no pdqhash lib and no network in-sandbox, so bit parity is
+    unverifiable here): bit-packing order and float edge-cases vs the C
+    code are property-tested, not golden-pinned — pin goldens out-of-band
+    where pdqhash installs. Returns (64-char hex, quality 0..100).
     """
     gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-    buf = _area_mean_resize(gray, 64, 64)
+    buf = _jarosz_downsample_64(gray)
     m = _pdq_dct_matrix()
     d = m @ buf @ m.T  # 16x16
     med = np.median(d)
@@ -204,11 +242,10 @@ def pdq256(pixels: np.ndarray) -> tuple[str, int]:
     val = 0
     for b in bits:
         val = (val << 1) | int(b)
-    # quality: fraction of strong gradients in the 64x64 buffer (PDQ's
-    # "how much structure survived the downsample" signal)
-    gx = np.abs(np.diff(buf, axis=1)) >= 2.0
-    gy = np.abs(np.diff(buf, axis=0)) >= 2.0
-    quality = int(min(100, round(100.0 * (gx.mean() + gy.mean()) / 2.0 * 4.0)))
+    # published quality heuristic: truncated-int gradient sum / 90, cap 100
+    gx = np.trunc(np.abs(np.diff(buf, axis=1)) * 100.0 / 255.0).sum()
+    gy = np.trunc(np.abs(np.diff(buf, axis=0)) * 100.0 / 255.0).sum()
+    quality = int(min(100, (gx + gy) // 90))
     return f"{val:064x}", quality
 
 

@@ -55,6 +55,19 @@ class CrawlConfig:
     strict_urls: bool = False  # P1 via exact ipaddress UDF (reference parity)
     allow_sheets: tuple = ()
     block_sheets: tuple = ()
+    # Writer-task fan-out for the per-wave commits. Every parquet writer task
+    # allocates row-group + dictionary buffers; at 32-wide the r4 full-wave
+    # attempts showed the commit segments' ALLOCATION RATE (not bytes) is
+    # what trips this host's memory-bandwidth governor — ~400 writer tasks
+    # per wave across ~10 commits for tables that are a few MB each. Skinny
+    # state tables (url_seen / sha_seen / frontier / bloom / lineage) and the
+    # results table get a bounded writer count instead; the heavy fetch_out
+    # staging keeps full fan-out (its writers are the fetch tasks
+    # themselves). On a real cluster these become "target file size" table
+    # properties (1 file per ~128 MB) — the knob bounds files-per-commit
+    # there too, it does not serialize the pipeline.
+    state_commit_partitions: int = 4
+    results_commit_partitions: int = 8
 
 
 @dataclass
@@ -103,6 +116,10 @@ def run_crawl(
         frontier = io.read(spark, "frontier")
 
     stats: list[WaveStats] = []
+    # bounded writer fan-out + small row groups for the skinny state commits
+    # (see CrawlConfig.state_commit_partitions)
+    n_state = max(1, config.state_commit_partitions)
+    _state_opts = {"parquet.block.size": str(4 << 20)}
     for wave in range(start_wave, config.max_waves):
         t0 = time.monotonic()
         if frontier.isEmpty():
@@ -173,7 +190,13 @@ def run_crawl(
             wave,
             mode="overwrite",
             compression="uncompressed",
-            options={"parquet.block.size": str(8 << 20)},
+            # dictionary encoding on the wide binary column buffers every
+            # distinct payload per writer — pure allocation churn for
+            # unique image bytes; page-level stats are untouched
+            options={
+                "parquet.block.size": str(8 << 20),
+                "parquet.enable.dictionary": "false",
+            },
         )
         fetched = io.read(spark, "fetch_out")
         mark("fetch_udf")
@@ -202,7 +225,7 @@ def run_crawl(
             fresh = winners.join(sha_seen, "sha256", "left_anti").localCheckpoint()
             drops = keys.join(fresh.select("_uid"), "_uid", "left_anti").select(
                 F.col("_uid").alias("url_hash")
-            )
+            ).coalesce(1)
             kept_shas = fresh.select("sha256")
         snap_ids["images"] = io.commit_ref(
             "images",
@@ -218,7 +241,12 @@ def run_crawl(
             anti_key_col="url_hash",
         )
         mark("images_commit")
-        snap_ids["archive_results"] = io.commit(results, "archive_results", wave)
+        snap_ids["archive_results"] = io.commit(
+            results.coalesce(config.results_commit_partitions),
+            "archive_results",
+            wave,
+            options=_state_opts,
+        )
         # downstream consumers (writeback x2 jobs, lineage) re-read the
         # committed snapshot instead of re-running the to_archive_results
         # chain over fetch_out once per job; the wave filter prunes to this
@@ -258,10 +286,14 @@ def run_crawl(
         newly_seen = admitted.select(
             "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
         )
-        snap_ids["url_seen"] = io.commit(newly_seen, "url_seen", wave)
+        snap_ids["url_seen"] = io.commit(
+            newly_seen.coalesce(n_state), "url_seen", wave, options=_state_opts
+        )
         if config.dedup_content:
             # the content hashes this wave actually kept (skinny, checkpointed)
-            snap_ids["sha_seen"] = io.commit(kept_shas, "sha_seen", wave)
+            snap_ids["sha_seen"] = io.commit(
+                kept_shas.coalesce(n_state), "sha_seen", wave, options=_state_opts
+            )
         if config.use_bloom:
             # incremental sidecar: hash ONLY this wave's new keys into delta
             # bitmaps, OR-merge with the persisted sidecar (fixed m ⇒ exact)
@@ -281,17 +313,29 @@ def run_crawl(
             else:
                 merged = delta
             snap_ids["url_seen_bloom"] = io.commit(
-                merged, "url_seen_bloom", wave, mode="overwrite"
+                merged.coalesce(n_state),
+                "url_seen_bloom",
+                wave,
+                mode="overwrite",
+                options=_state_opts,
             )
         next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-        snap_ids["frontier"] = io.commit(next_frontier, "frontier", wave, mode="overwrite")
+        snap_ids["frontier"] = io.commit(
+            next_frontier.coalesce(n_state),
+            "frontier",
+            wave,
+            mode="overwrite",
+            options=_state_opts,
+        )
 
         lineage = (
             results.groupBy("lineage_partition")
             .agg(F.count("*").alias("rows"), F.sum("total_bytes").alias("bytes"))
             .withColumn("wave", F.lit(wave))
         )
-        snap_ids["lineage"] = io.commit(lineage, "lineage", wave)
+        snap_ids["lineage"] = io.commit(
+            lineage.coalesce(1), "lineage", wave, options=_state_opts
+        )
         mark("state_commits")
 
         ws = WaveStats(
