@@ -1752,6 +1752,141 @@ def q_robots_parse(spark, sf):
     )
 
 
+def q_ssl_cert_parse(spark, sf):
+    """F18 SSL-certificate kernel (ssl_enricher.py:16-31 stores the host's
+    PEM; the TLS transport is declared external). Synthesize-then-parse:
+    per doc a minimal well-formed X.509 DER is BUILT from row params
+    (functions/asn1.py x509_build — subject/issuer CN, serial, UTCTime
+    validity, SAN dNSNames), PEM-wrapped, mutated by doc_id%4 into
+    valid / valid-no-SAN / garbage / NULL shapes, then parsed by the real
+    operators/trust.py parse_certificates DER walker. The oracle computes
+    every output field straight from the generating params, so a wrong byte
+    anywhere in the encode→PEM→decode round trip breaks the hash."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .functions.asn1 import der_to_pem, x509_build  # noqa: PLC0415
+    from .operators.trust import parse_certificates  # noqa: PLC0415
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                did = int(raw)
+                k = did % 4
+                domain = f"host{did % 50}.example.com"
+                if k == 2:
+                    pem = "-----BEGIN CERTIFICATE-----\nnot base64!\n-----END CERTIFICATE-----\n"
+                elif k == 3:
+                    pem = None
+                else:
+                    der = x509_build(
+                        subject_cn=domain,
+                        issuer_cn=f"Example CA {did % 5}",
+                        serial=did * 7 + 1,
+                        not_before=1_600_000_000 + (did % 1000) * 86_400,
+                        not_after=1_600_000_000 + (did % 1000) * 86_400 + 90 * 86_400,
+                        san_dns=[domain, "www." + domain] if k == 0 else None,
+                    )
+                    pem = der_to_pem(der)
+                rows.append({"doc_id": did, "cert_pem": pem})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "cert_pem"])
+
+    certs = load(spark, sf, "documents").select("doc_id").mapInPandas(
+        make, "doc_id long, cert_pem string"
+    )
+    # fingerprint_sha256 is over the DER bytes the oracle never builds —
+    # pinned in pytest (test_asn1.py), projected out of the gate
+    return parse_certificates(certs, id_cols=["doc_id"]).drop("fingerprint_sha256")
+
+
+def q_timestamp_req(spark, sf):
+    """F17 RFC 3161 request half (timestamping_enricher.py:55-66,174-176):
+    the timestamped document (media hashes, algorithm prefixes stripped,
+    newline-joined) and its byte-exact TimeStampReq DER — built NATIVELY in
+    Catalyst (operators/trust.py tsq_hex_expr: the fixed-shape request is a
+    constant hex skeleton around sha2(), zero Python). The oracle rebuilds
+    the same DER from the RFC template with DuckDB sha256/printf, so every
+    byte of the encoding crosses engines."""
+    from .operators.trust import timestamp_requests  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    hashes = F.array(
+        F.concat(F.lit("SHA-256:"), F.md5(eid.cast("string"))),
+        F.concat(F.lit("SHA3-512:"), F.md5(F.concat(F.lit("alt-"), eid.cast("string")))),
+        # every third row carries an empty entry the document filter drops
+        F.when(F.pmod(eid, F.lit(3)) == 0, F.lit("")).otherwise(
+            F.concat(F.lit("SHA-256:"), F.md5(F.concat(F.lit("x-"), eid.cast("string"))))
+        ),
+    )
+    src = ev.select("event_id", hashes.alias("hashes"), eid.alias("nonce"))
+    return timestamp_requests(src).select("event_id", "ts_document", "tsq_hex")
+
+
+def q_timestamp_resp(spark, sf):
+    """F17 RFC 3161 response half (timestamping_enricher.py:77-107,210-228):
+    synthesize-then-parse — per event a TimeStampResp DER is BUILT from row
+    params (functions/asn1.py tsr_build: PKIStatusInfo + CMS SignedData +
+    TSTInfo + certificate bag in DELIBERATELY SHUFFLED order), mutated by
+    event_id%5 into granted/with-chain/single-cert/rejected/garbage shapes,
+    then parsed by the real operators/trust.py parse_timestamp_responses
+    walker, which must reorder the bag leaf→root like the reference's
+    tst_certs. The oracle computes status, TSTInfo fields and the ordered
+    chain straight from the generating params."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .functions.asn1 import tsr_build, x509_build  # noqa: PLC0415
+    from .operators.trust import parse_timestamp_responses  # noqa: PLC0415
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["event_id"]:
+                eid = int(raw)
+                k = eid % 5
+                if k == 4:
+                    der = b"\x30\x03garbage-%d" % eid
+                else:
+                    certs = None
+                    if k == 1:
+                        root = x509_build(f"Root CA {eid % 3}", f"Root CA {eid % 3}",
+                                          1, 1_500_000_000, 1_800_000_000)
+                        inter = x509_build(f"Inter CA {eid % 5}", f"Root CA {eid % 3}",
+                                           2, 1_500_000_000, 1_800_000_000)
+                        leaf = x509_build(f"tsa{eid % 7}.example.com", f"Inter CA {eid % 5}",
+                                          3, 1_500_000_000, 1_800_000_000)
+                        bag = [leaf, inter, root]
+                        rot = eid % 3  # shuffle: parse must reorder
+                        certs = bag[rot:] + bag[:rot]
+                    elif k == 2:
+                        certs = [x509_build(f"tsa{eid % 7}.example.com",
+                                            f"tsa{eid % 7}.example.com",
+                                            5, 1_500_000_000, 1_800_000_000)]
+                    der = tsr_build(
+                        b"m-%d" % eid,
+                        serial=eid * 3 + 11,
+                        gen_time=1_640_000_000 + eid % 100_000,
+                        nonce=eid % 1000,
+                        status=2 if k == 3 else 0,
+                        certs=certs,
+                    )
+                rows.append({"event_id": eid, "tsr_der": der})
+            yield pd.DataFrame.from_records(rows, columns=["event_id", "tsr_der"])
+
+    resp = load(spark, sf, "events").select("event_id").mapInPandas(
+        make, "event_id long, tsr_der binary"
+    )
+    # granted as int: nullable booleans land in pandas object columns with
+    # engine-dependent stringification; nullable ints are gate-proven
+    return parse_timestamp_responses(resp, id_cols=["event_id"]).withColumn(
+        "ts_granted", F.col("ts_granted").cast("int")
+    )
+
+
 QUERIES = {
     # r5 gate window = first 50 (the driver runs QUERIES[0:50]).
     # (a) the 19 entries parked in r4 (green r2+r3, unseen by the r4 tree) —
@@ -1778,6 +1913,9 @@ QUERIES = {
     # (b) new or semantics-extended THIS round (must be driver-verified)
     "frames_extract": q_frames_extract,
     "robots_parse": q_robots_parse,
+    "ssl_cert_parse": q_ssl_cert_parse,
+    "timestamp_req": q_timestamp_req,
+    "timestamp_resp": q_timestamp_resp,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -1797,9 +1935,6 @@ QUERIES = {
     "atlos_feed": q_atlos_feed,
     "livestream_skip": q_livestream_skip,
     "keys_to_clean": q_keys_to_clean,
-    "is_empty": q_is_empty,
-    "html_render": q_html_render,
-    "content_append": q_content_append,
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -1811,7 +1946,10 @@ QUERIES = {
     "dedup_exact_text": q_dedup_exact_text,
     "ngram_jaccard": q_ngram_jaccard,
     # ---- entries 51+: rotated out of the gate window this round (all green
-    # in r3 AND r4, most also r2; pytest + oracle SQL retained) ----
+    # in r3 AND r4 or r2 AND r4; pytest + oracle SQL retained) ----
+    "is_empty": q_is_empty,
+    "html_render": q_html_render,
+    "content_append": q_content_append,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2254,6 +2392,59 @@ ORACLE = {
                (CASE WHEN dis_hit THEN length(dis) ELSE -1 END)
                > (CASE WHEN alw_hit THEN length(alw) ELSE -1 END) AS blocked
         FROM hit
+    """,
+    "ssl_cert_parse": """
+        WITH p AS (SELECT doc_id, doc_id % 4 AS k,
+                          'host' || (doc_id % 50) || '.example.com' AS domain
+                   FROM documents)
+        SELECT doc_id,
+          CASE WHEN k <= 1 THEN (doc_id * 7 + 1)::VARCHAR END AS serial,
+          CASE WHEN k <= 1 THEN domain END AS subject_cn,
+          CASE WHEN k <= 1 THEN 'Example CA ' || (doc_id % 5) END AS issuer_cn,
+          CASE WHEN k <= 1 THEN 1600000000 + (doc_id % 1000) * 86400 END::BIGINT
+            AS not_before,
+          CASE WHEN k <= 1 THEN 1600000000 + (doc_id % 1000) * 86400 + 7776000 END::BIGINT
+            AS not_after,
+          CASE WHEN k = 0 THEN domain || ',www.' || domain
+               WHEN k = 1 THEN '' END AS san_dns,
+          CASE WHEN k = 2 THEN 'decode_error' WHEN k = 3 THEN 'empty' END AS cert_err
+        FROM p
+    """,
+    "timestamp_req": """
+        WITH d AS (
+          SELECT event_id,
+            md5(event_id::VARCHAR) || chr(10) ||
+            md5('alt-' || event_id) ||
+            CASE WHEN event_id % 3 = 0 THEN ''
+                 ELSE chr(10) || md5('x-' || event_id) END AS ts_document,
+            (event_id & 4611686018427387903) | 4611686018427387904 AS nonce
+          FROM events)
+        SELECT event_id, ts_document,
+          -- RFC 3161 TimeStampReq, fixed shape: SEQUENCE(0x43) { INTEGER 1,
+          -- messageImprint{sha256 AlgId, OCTET STRING(32)}, INTEGER(8) nonce,
+          -- BOOLEAN TRUE } — the same constant skeleton as tsq_hex_expr
+          '3043020101' || '3031300d060960864801650304020105000420' ||
+          sha256(ts_document) || '0208' || printf('%016x', nonce) || '0101ff'
+            AS tsq_hex
+        FROM d
+    """,
+    "timestamp_resp": """
+        WITH p AS (SELECT event_id, event_id % 5 AS k FROM events)
+        SELECT event_id,
+          CASE WHEN k = 4 THEN NULL WHEN k = 3 THEN 2 ELSE 0 END AS ts_status,
+          CASE WHEN k = 4 THEN NULL WHEN k = 3 THEN 0 ELSE 1 END AS ts_granted,
+          CASE WHEN k IN (0, 1, 2) THEN (event_id * 3 + 11)::VARCHAR END AS ts_serial,
+          CASE WHEN k IN (0, 1, 2) THEN 1640000000 + event_id % 100000 END::BIGINT
+            AS ts_gen_time,
+          CASE WHEN k IN (0, 1, 2) THEN 'sha256' END AS ts_hash_alg,
+          CASE WHEN k IN (0, 1, 2) THEN sha256('m-' || event_id) END AS ts_imprint,
+          CASE WHEN k IN (0, 1, 2) THEN event_id % 1000 END::BIGINT AS ts_nonce,
+          CASE WHEN k = 1 THEN 'tsa' || (event_id % 7) || '.example.com>Inter CA '
+                                || (event_id % 5) || '>Root CA ' || (event_id % 3)
+               WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
+               WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
+          CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
     """,
     # The xxhash64-based production sketches keep exact-value pytest coverage
     # (tests/test_sketches.py); the gate entries below run the same algebra
