@@ -1887,6 +1887,47 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def _gdrive_keys(spark, sf):
+    """Synthetic media keys over documents: 6/7 are 3-level folder chains
+    (sheet/year/day buckets — the shape the reference's storage path
+    templates produce), 1/7 are root-level files (the reference's
+    unsupported-for-Drive case, which must resolve to nothing)."""
+    doc = load(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    key = F.when(
+        F.pmod(did, F.lit(7)) == 0,
+        F.concat(F.lit("rootfile"), did.cast("string"), F.lit(".bin")),
+    ).otherwise(
+        F.concat(
+            F.lit("sheet"), F.pmod(did, F.lit(5)).cast("string"),
+            F.lit("/"), (F.lit(2022) + F.pmod(did, F.lit(3))).cast("string"),
+            F.lit("/d"), F.pmod(did, F.lit(20)).cast("string"),
+            F.lit("/f"), did.cast("string"), F.lit(".jpg"),
+        )
+    )
+    return doc.select("doc_id", key.alias("key"))
+
+
+def q_gdrive_folders(spark, sf):
+    """K7 folder-tree upsert (gdrive_storage.py:84-93 find-or-create walk +
+    :180-186 mkdir, re-expressed as one posexplode + distinct — no
+    per-level iteration, ids content-addressed): the folder dimension the
+    batch of keys requires. The oracle rebuilds every prefix chain with a
+    lateral generate_series and the same md5-derived ids."""
+    from .operators.gdrive import upsert_folder_tree  # noqa: PLC0415
+
+    return upsert_folder_tree(_gdrive_keys(spark, sf))
+
+
+def q_gdrive_urls(spark, sf):
+    """K7 URL resolution (gdrive_storage.py:57-76 get_cdn_url): per file
+    key the leaf folder, content-addressed ids and the share URL; root-
+    level keys (folder-only support) resolve to NULLs."""
+    from .operators.gdrive import resolve_drive_urls  # noqa: PLC0415
+
+    return resolve_drive_urls(_gdrive_keys(spark, sf))
+
+
 QUERIES = {
     # r5 gate window = first 50 (the driver runs QUERIES[0:50]).
     # (a) the 19 entries parked in r4 (green r2+r3, unseen by the r4 tree) —
@@ -1916,6 +1957,8 @@ QUERIES = {
     "ssl_cert_parse": q_ssl_cert_parse,
     "timestamp_req": q_timestamp_req,
     "timestamp_resp": q_timestamp_resp,
+    "gdrive_folders": q_gdrive_folders,
+    "gdrive_urls": q_gdrive_urls,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -1932,8 +1975,6 @@ QUERIES = {
     "writeback_merge": q_writeback_merge,
     "deletion_detect": q_deletion_detect,
     "extractor_routing": q_extractor_routing,
-    "atlos_feed": q_atlos_feed,
-    "livestream_skip": q_livestream_skip,
     "keys_to_clean": q_keys_to_clean,
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
@@ -1950,6 +1991,8 @@ QUERIES = {
     "is_empty": q_is_empty,
     "html_render": q_html_render,
     "content_append": q_content_append,
+    "atlos_feed": q_atlos_feed,
+    "livestream_skip": q_livestream_skip,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2445,6 +2488,54 @@ ORACLE = {
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
         FROM p
+    """,
+    "gdrive_folders": """
+        WITH k AS (
+          SELECT CASE WHEN doc_id % 7 = 0
+                      THEN 'rootfile' || doc_id || '.bin'
+                      ELSE 'sheet' || (doc_id % 5) || '/' || (2022 + doc_id % 3)
+                           || '/d' || (doc_id % 20) || '/f' || doc_id || '.jpg'
+                 END AS key
+          FROM documents),
+        p AS (SELECT string_split(key, '/') AS parts FROM k),
+        pref AS (
+          -- the synthesized chains are <=3 deep; DuckDB can't lateral-join
+          -- generate_series on a column, so enumerate and filter
+          SELECT array_to_string(parts[1:i], '/') AS path,
+                 coalesce(array_to_string(parts[1:i-1], '/'), '') AS parent_path,
+                 parts[i] AS name,
+                 i::INTEGER AS depth
+          FROM p, unnest([1, 2, 3]) AS g(i)
+          WHERE i <= len(parts) - 1)
+        SELECT DISTINCT path, parent_path, name, depth,
+               substr(md5(path), 1, 16) AS folder_id,
+               CASE WHEN parent_path = '' THEN 'root'
+                    ELSE substr(md5(parent_path), 1, 16) END AS parent_id
+        FROM pref
+    """,
+    "gdrive_urls": """
+        WITH k AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'rootfile' || doc_id || '.bin'
+                      ELSE 'sheet' || (doc_id % 5) || '/' || (2022 + doc_id % 3)
+                           || '/d' || (doc_id % 20) || '/f' || doc_id || '.jpg'
+                 END AS key
+          FROM documents),
+        r AS (SELECT doc_id, key, string_split(key, '/') AS parts FROM k)
+        SELECT doc_id, key,
+          CASE WHEN len(parts) > 1
+               THEN array_to_string(parts[1:len(parts)-1], '/') END AS folder_path,
+          CASE WHEN len(parts) > 1
+               THEN substr(md5(array_to_string(parts[1:len(parts)-1], '/')), 1, 16)
+          END AS folder_id,
+          CASE WHEN len(parts) > 1
+               THEN substr(md5('file:' || key), 1, 16) END AS file_id,
+          CASE WHEN len(parts) > 1
+               THEN 'https://drive.google.com/file/d/'
+                    || substr(md5('file:' || key), 1, 16) || '/view?usp=sharing'
+          END AS cdn_url
+        FROM r
     """,
     # The xxhash64-based production sketches keep exact-value pytest coverage
     # (tests/test_sketches.py); the gate entries below run the same algebra

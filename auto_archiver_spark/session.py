@@ -18,12 +18,20 @@ def get_spark(
     app: str = "auto-archiver-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    inherit_master: bool = False,
 ) -> SparkSession:
+    """``inherit_master=True`` is the spark-submit path: the master (and
+    executor topology) comes from the launcher —
+    ``spark-submit --master yarn|k8s|local[N] --py-files dist/….zip`` — and
+    this factory only contributes the engine config block
+    (tools/submit_crawl.py)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder.appName(app)
+    if not inherit_master:
+        builder = builder.master(f"local[{cores}]")
     return (
-        SparkSession.builder.appName(app)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
