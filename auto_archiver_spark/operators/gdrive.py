@@ -75,18 +75,28 @@ def upsert_folder_tree(
     prefixes across all keys, minus those already in ``existing``
     (columns: path). Returns (path, parent_path, name, depth, folder_id,
     parent_id) — parent ids content-derived, root parent = 'root' like the
-    reference's ``root_folder_id`` seed."""
-    dim = folder_prefixes(keys, key_col).drop(key_col).distinct()
+    reference's ``root_folder_id`` seed.
+
+    Plan shape (test_plans.py): parent/name/depth are FUNCTIONS of the path,
+    so the distinct runs on ``path`` alone — one hash exchange, whose
+    partitioning the anti-join immediately reuses (distinct on all four
+    columns would force a second re-shuffle on path for the join) — and the
+    derived columns are a post-join projection."""
+    dim = folder_prefixes(keys, key_col).select("path").distinct()
     if existing is not None:
         dim = dim.join(existing.select("path"), "path", "left_anti")
+    segs = F.split(F.col("path"), "/")
+    parent = F.when(
+        F.size(segs) > 1, F.array_join(F.slice(segs, 1, F.size(segs) - 1), "/")
+    ).otherwise(F.lit(""))
     return dim.select(
         "path",
-        "parent_path",
-        "name",
-        "depth",
+        parent.alias("parent_path"),
+        F.element_at(segs, -1).alias("name"),
+        F.size(segs).alias("depth"),
         _drive_id(F.col("path")).alias("folder_id"),
-        F.when(F.col("parent_path") == "", F.lit("root"))
-        .otherwise(_drive_id(F.col("parent_path")))
+        F.when(parent == "", F.lit("root"))
+        .otherwise(_drive_id(parent))
         .alias("parent_id"),
     )
 

@@ -208,3 +208,32 @@ def test_embedding_near_dup_no_cartesian(spark):
     plan = _plan(q_embedding_near_dup(spark, SF), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_tsq_build_stays_native(spark):
+    """The RFC 3161 request build (F17 hot half — per archived row-group) is
+    a constant hex skeleton around sha2(): no Python eval, no exchange —
+    one WholeStageCodegen projection."""
+    from auto_archiver_spark.operators.trust import timestamp_requests
+
+    df = spark.createDataFrame(
+        [(1, ["SHA-256:aa"], 7)], "url_hash long, hashes array<string>, nonce long"
+    )
+    plan = _plan(timestamp_requests(df), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_gdrive_upsert_single_shuffle_no_python(spark):
+    """K7 folder-tree upsert: the whole find-or-create walk is prefix
+    explode + distinct + anti-join — pure JVM, and the only hash exchanges
+    are the distinct on the skinny prefix table (pre/post-agg of the same
+    key), never a per-level loop or Python eval."""
+    from auto_archiver_spark.operators.gdrive import upsert_folder_tree
+
+    keys = spark.createDataFrame([("a/b/f.jpg",), ("a/c/g.jpg",)], "key string")
+    existing = spark.createDataFrame([("a",)], "path string")
+    plan = _plan(upsert_folder_tree(keys, existing), "simple")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
