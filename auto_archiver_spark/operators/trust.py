@@ -143,6 +143,59 @@ def parse_certificates(
     return src.mapInPandas(run, schema=out_schema)
 
 
+_OTS_SCHEMA = StructType(
+    [
+        StructField("ots_digest", StringType()),
+        StructField("ots_attestations", IntegerType()),
+        StructField("ots_pending_uris", StringType()),
+        StructField("ots_btc_heights", StringType()),
+        StructField("ots_verified", IntegerType()),
+        StructField("ots_err", StringType()),
+    ]
+)
+
+
+def parse_ots_proofs(
+    df: DataFrame, ots_col: str = "ots_der", id_cols: list[str] | None = None
+) -> DataFrame:
+    """F17b parse half: per OpenTimestamps detached proof, the stamped
+    digest and the reference's verification summary
+    (opentimestamps_enricher.py:128-172 — attestation count, pending uris,
+    bitcoin heights, ``verified`` iff any Bitcoin attestation). CSV-joined
+    lists and int-typed verified keep the output gate-stable."""
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions.ots import OtsError, ots_parse  # noqa: PLC0415
+
+    id_cols = id_cols or ["url_hash"]
+    src = df.select(*id_cols, ots_col)
+    out_schema = StructType([src.schema[c] for c in id_cols] + list(_OTS_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[ots_col]:
+                if raw is None or len(raw) == 0:
+                    rows.append((None, None, None, None, None, "empty"))
+                    continue
+                try:
+                    p = ots_parse(bytes(raw))
+                    rows.append(
+                        (p["digest"], p["attestation_count"],
+                         ",".join(p["pending_uris"]),
+                         ",".join(str(h) for h in p["bitcoin_heights"]),
+                         int(p["verified"]), None)
+                    )
+                except (OtsError, ValueError, IndexError):
+                    rows.append((None, None, None, None, None, "decode_error"))
+            parsed = pd.DataFrame(
+                rows, columns=[f.name for f in _OTS_SCHEMA.fields], index=pdf.index
+            )
+            yield pd.concat([pdf[id_cols], parsed], axis=1)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
 _TSR_SCHEMA = StructType(
     [
         StructField("ts_status", IntegerType()),

@@ -1887,6 +1887,58 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_ots_roundtrip(spark, sf):
+    """F17b OpenTimestamps detached proof (opentimestamps_enricher.py:38-98
+    stamp + :128-172 verify summary; the calendar POST is declared
+    external). Synthesize-then-parse: per event a spec-conformant .ots
+    container is BUILT from row params (functions/ots.py ots_build —
+    sha256 digest, 0-2 calendar pending chains, optionally an upgraded
+    Bitcoin attestation), mutated by event_id%5 into with-btc / pending-
+    only / single-calendar / no-calendar-btc-only / garbage shapes, then
+    parsed by the real ots_parse tree walk (which EXECUTES the op chain).
+    The oracle recomputes digest (DuckDB sha256), uri list, heights and
+    the verified flag straight from the params."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .functions.ots import ots_build  # noqa: PLC0415
+    from .operators.trust import parse_ots_proofs  # noqa: PLC0415
+
+    cals = [
+        "https://a.calendar.example.com/",
+        "https://b.calendar.example.com/",
+        "https://c.calendar.example.com/",
+    ]
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib  # noqa: PLC0415
+
+        for pdf in batches:
+            rows = []
+            for raw in pdf["event_id"]:
+                eid = int(raw)
+                k = eid % 5
+                if k == 4:
+                    der = b"not-an-ots-proof-%d" % eid
+                else:
+                    digest = hashlib.sha256(b"m-%d" % eid).digest()
+                    uris = (
+                        [] if k == 3
+                        else [cals[eid % 3]] if k == 2
+                        else [cals[eid % 3], cals[(eid + 1) % 3]]
+                    )
+                    height = (700000 + eid % 100000) if k in (0, 3) else None
+                    der = ots_build(digest, uris, bitcoin_height=height)
+                rows.append({"event_id": eid, "ots_der": der})
+            yield pd.DataFrame.from_records(rows, columns=["event_id", "ots_der"])
+
+    proofs = load(spark, sf, "events").select("event_id").mapInPandas(
+        make, "event_id long, ots_der binary"
+    )
+    return parse_ots_proofs(proofs, id_cols=["event_id"])
+
+
 def _gdrive_keys(spark, sf):
     """Synthetic media keys over documents: 6/7 are 3-level folder chains
     (sheet/year/day buckets — the shape the reference's storage path
@@ -1959,6 +2011,7 @@ QUERIES = {
     "timestamp_resp": q_timestamp_resp,
     "gdrive_folders": q_gdrive_folders,
     "gdrive_urls": q_gdrive_urls,
+    "ots_roundtrip": q_ots_roundtrip,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -1975,7 +2028,6 @@ QUERIES = {
     "writeback_merge": q_writeback_merge,
     "deletion_detect": q_deletion_detect,
     "extractor_routing": q_extractor_routing,
-    "keys_to_clean": q_keys_to_clean,
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -1988,6 +2040,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     # ---- entries 51+: rotated out of the gate window this round (all green
     # in r3 AND r4 or r2 AND r4; pytest + oracle SQL retained) ----
+    "keys_to_clean": q_keys_to_clean,
     "is_empty": q_is_empty,
     "html_render": q_html_render,
     "content_append": q_content_append,
@@ -2487,6 +2540,29 @@ ORACLE = {
                WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
+    """,
+    "ots_roundtrip": """
+        WITH p AS (
+          SELECT event_id, event_id % 5 AS k,
+            CASE event_id % 3 WHEN 0 THEN 'https://a.calendar.example.com/'
+                              WHEN 1 THEN 'https://b.calendar.example.com/'
+                              ELSE 'https://c.calendar.example.com/' END AS u1,
+            CASE (event_id + 1) % 3 WHEN 0 THEN 'https://a.calendar.example.com/'
+                                    WHEN 1 THEN 'https://b.calendar.example.com/'
+                                    ELSE 'https://c.calendar.example.com/' END AS u2,
+            700000 + event_id % 100000 AS height
+          FROM events)
+        SELECT event_id,
+          CASE WHEN k <> 4 THEN sha256('m-' || event_id) END AS ots_digest,
+          CASE WHEN k = 0 THEN 3 WHEN k = 1 THEN 2
+               WHEN k IN (2, 3) THEN 1 END AS ots_attestations,
+          CASE WHEN k IN (0, 1) THEN least(u1, u2) || ',' || greatest(u1, u2)
+               WHEN k = 2 THEN u1 WHEN k = 3 THEN '' END AS ots_pending_uris,
+          CASE WHEN k IN (0, 3) THEN height::VARCHAR
+               WHEN k IN (1, 2) THEN '' END AS ots_btc_heights,
+          CASE WHEN k IN (0, 3) THEN 1 WHEN k IN (1, 2) THEN 0 END AS ots_verified,
+          CASE WHEN k = 4 THEN 'decode_error' END AS ots_err
         FROM p
     """,
     "gdrive_folders": """

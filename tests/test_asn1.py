@@ -181,3 +181,47 @@ def test_trust_operators_on_spark(spark):
     assert tp[1]["ts_granted"] and tp[1]["ts_serial"] == "9"
     assert tp[1]["ts_gen_time"] == 123 and tp[1]["ts_cert_chain"] == "h.example.com"
     assert tp[2]["ts_err"] == "decode_error"
+
+
+def test_ots_varuint_roundtrip():
+    from auto_archiver_spark.functions import ots as O
+
+    for v in (0, 1, 127, 128, 255, 300, 1 << 20, (1 << 35) + 7):
+        enc = O.varuint_encode(v)
+        got, off = O.varuint_decode(enc, 0)
+        assert got == v and off == len(enc)
+    assert O.varuint_encode(0) == b"\x00"
+    assert O.varuint_encode(128) == b"\x80\x01"  # LEB128 little-endian
+
+
+def test_ots_build_parse_roundtrip():
+    import hashlib
+
+    from auto_archiver_spark.functions import ots as O
+
+    d = hashlib.sha256(b"payload").digest()
+    cals = ["https://a.calendar.example.com/", "https://b.calendar.example.com/"]
+    proof = O.ots_build(d, cals, bitcoin_height=800123)
+    assert proof.startswith(O.HEADER_MAGIC)
+    p = O.ots_parse(proof)
+    assert p["digest"] == d.hexdigest() if hasattr(d, "hexdigest") else p["digest"] == d.hex()
+    assert p["pending_uris"] == cals
+    assert p["bitcoin_heights"] == [800123]
+    assert p["attestation_count"] == 3 and p["verified"]
+    # the op chain is EXECUTED: each pending attestation attests
+    # sha256(digest + per-calendar nonce), not the raw digest
+    for uri, att in zip(cals, p["attested_digests"][1:]):
+        nonce = hashlib.sha256(d + uri.encode()).digest()[:16]
+        assert att == hashlib.sha256(d + nonce).hexdigest()
+    # deterministic build
+    assert O.ots_build(d, cals, bitcoin_height=800123) == proof
+    # pending-only is not verified (reference: verified iff a Bitcoin
+    # attestation exists, opentimestamps_enricher.py:164-168)
+    assert not O.ots_parse(O.ots_build(d, cals[:1]))["verified"]
+    # malformed inputs raise OtsError
+    import pytest as _pytest
+
+    with _pytest.raises(O.OtsError):
+        O.ots_parse(b"garbage")
+    with _pytest.raises(O.OtsError):
+        O.ots_parse(proof[:40])
