@@ -39,7 +39,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # image bytes make rows heavy: cap Arrow batches so a fetch/enrich
         # batch of 512x384 RGB rows stays well under executor memory
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # (overridable: peak per-task allocation = batch_rows x row_bytes,
+        # the lever for allocation-rate-sensitive hosts)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "256"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # image payloads are already-compressed PNG: zstd passes them through
         # cheaply where snappy/dictionary paths burn CPU on incompressible data
