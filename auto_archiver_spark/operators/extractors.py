@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
 
 # ---- X6: Telegram embed HTML ------------------------------------------------------
 
@@ -454,3 +454,100 @@ def antibot_sanitize_expr(url: Column) -> Column:
     return F.when(
         is_vk & first.isNotNull(), F.concat(F.lit("https://vk.com/"), first)
     ).otherwise(url)
+
+
+# ---- X2: yt-dlp info-dict -> Metadata mapping (add_metadata kernel) ---------------
+
+_YTDLP_INFO_SCHEMA = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("fulltitle", StringType()),
+        StructField("description", StringType()),
+        StructField("timestamp", LongType()),
+        StructField("upload_date", StringType()),
+        StructField("uploader", StringType()),
+        StructField("view_count", LongType()),
+        StructField(
+            "comments",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("text", StringType()),
+                        StructField("author", StringType()),
+                        StructField("timestamp", LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _iso_utc(epoch: Column) -> Column:
+    # datetime.fromtimestamp(ts, tz=utc).isoformat() shape; session tz is UTC
+    return F.concat(F.from_unixtime(epoch, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("+00:00"))
+
+
+def ytdlp_metadata_cols(
+    info_json: Column,
+    prior_title: Column,
+    prior_content: Column,
+    prior_ts_iso: Column,
+) -> list[Column]:
+    """X2's deterministic core — the generic yt-dlp extractor's info-dict →
+    Metadata mapping (generic_extractor.py:297-348 ``add_metadata``), with
+    the network fetch out of scope:
+
+    * title: keep a truthy prior, else ``title``, else ``fulltitle``,
+      else '' (:305-306 pop-with-fallback);
+    * content: keep a truthy prior, else ``description`` (:310-311);
+    * timestamp: iff unset and truthy, epoch → UTC isoformat (:327-330);
+    * upload_date: ``%Y%m%d`` → UTC date (:332-335);
+    * comments → (author, text, UTC timestamp) list (:313-325);
+    * remaining truthy keys survive the keys_to_clean projection (:337-343,
+      P15 kernel) — represented by ``uploader``/``view_count``: NULL when
+      falsy, like the ``if v:`` guard.
+
+    Native Catalyst: one from_json + conditional projections."""
+    d = F.from_json(info_json, _YTDLP_INFO_SCHEMA)
+    has_prior_title = prior_title.isNotNull() & (prior_title != "")
+    has_prior_content = prior_content.isNotNull() & (prior_content != "")
+    title = (
+        F.when(has_prior_title, prior_title)
+        .when(d["title"].isNotNull(), d["title"])
+        .otherwise(F.coalesce(d["fulltitle"], F.lit("")))
+    )
+    content = (
+        F.when(has_prior_content, prior_content)
+        .when(d["description"].isNotNull(), d["description"])
+        .otherwise(F.lit(""))
+    )
+    ts = F.when(prior_ts_iso.isNotNull(), prior_ts_iso).otherwise(
+        F.when((d["timestamp"].isNotNull()) & (d["timestamp"] != 0), _iso_utc(d["timestamp"]))
+    )
+    upload_date = F.to_date(d["upload_date"], "yyyyMMdd").cast("string")
+    comments = F.when(
+        d["comments"].isNotNull(),
+        F.array_join(
+            F.transform(
+                d["comments"],
+                lambda c: F.concat_ws(
+                    ":", c["author"], c["text"], _iso_utc(c["timestamp"])
+                ),
+            ),
+            "|",
+        ),
+    )
+    uploader = F.when((d["uploader"].isNotNull()) & (d["uploader"] != ""), d["uploader"])
+    view_count = F.when(
+        (d["view_count"].isNotNull()) & (d["view_count"] != 0), d["view_count"]
+    )
+    return [
+        title.alias("title"),
+        content.alias("content"),
+        ts.alias("ts_iso"),
+        upload_date.alias("upload_date"),
+        comments.alias("comments_csv"),
+        uploader.alias("uploader"),
+        view_count.alias("view_count"),
+    ]

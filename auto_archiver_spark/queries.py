@@ -1887,6 +1887,68 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_ytdlp_metadata(spark, sf):
+    """X2's deterministic core: the generic yt-dlp extractor's info-dict →
+    Metadata mapping (generic_extractor.py:297-348 add_metadata — title
+    pop-with-fulltitle-fallback, iff-unset prior rules for title/content/
+    timestamp, epoch→UTC isoformat, %Y%m%d upload_date, comments list,
+    truthy-only survivor keys), as one native from_json projection
+    (operators/extractors.py ytdlp_metadata_cols). Synthesize-then-parse:
+    six info-dict shapes (full / fulltitle-only+falsy-fields / description-
+    only / prior-set (priors must win) / with-comments / empty dict) built
+    with native exprs; the oracle recomputes every field from the
+    generating params, epoch formatting via TZ-safe make_timestamp."""
+    from .operators.extractors import ytdlp_metadata_cols  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    eid = F.col("event_id")
+    k = F.pmod(eid, F.lit(6))
+    s = eid.cast("string")
+    ts = (F.lit(1_600_000_000) + F.pmod(eid, F.lit(1_000_000))).cast("string")
+    t0 = (F.lit(1_650_000_000) + F.pmod(eid, F.lit(1000))).cast("string")
+    t1 = (F.lit(1_650_000_060) + F.pmod(eid, F.lit(1000))).cast("string")
+    ud = F.concat(
+        F.lit("2023"),
+        F.lpad((F.lit(1) + F.pmod(eid, F.lit(12))).cast("string"), 2, "0"),
+        F.lpad((F.lit(1) + F.pmod(eid, F.lit(28))).cast("string"), 2, "0"),
+    )
+    info = (
+        F.when(k == 0, F.concat(
+            F.lit('{"title":"T'), s, F.lit('","description":"D'), s,
+            F.lit('","timestamp":'), ts, F.lit(',"upload_date":"'), ud,
+            F.lit('","uploader":"u'), F.pmod(eid, F.lit(50)).cast("string"),
+            F.lit('","view_count":'), (F.pmod(eid, F.lit(10000)) + 1).cast("string"),
+            F.lit("}"),
+        ))
+        .when(k == 1, F.concat(
+            F.lit('{"fulltitle":"FT'), s,
+            F.lit('","timestamp":0,"view_count":0,"uploader":""}'),
+        ))
+        .when(k == 2, F.concat(
+            F.lit('{"description":"D'), s, F.lit('","upload_date":"'), ud, F.lit('"}'),
+        ))
+        .when(k == 3, F.concat(
+            F.lit('{"title":"T'), s, F.lit('","description":"D'), s,
+            F.lit('","timestamp":'), ts, F.lit("}"),
+        ))
+        .when(k == 4, F.concat(
+            F.lit('{"title":"T'), s, F.lit('","timestamp":'), ts,
+            F.lit(',"comments":[{"text":"c0-'), s,
+            F.lit('","author":"a0","timestamp":'), t0,
+            F.lit('},{"text":"c1-'), s,
+            F.lit('","author":"a1","timestamp":'), t1, F.lit("}]}"),
+        ))
+        .otherwise(F.lit("{}"))
+    )
+    prior_title = F.when(k == 3, F.concat(F.lit("P"), s))
+    prior_content = F.when(k == 3, F.concat(F.lit("PC"), s))
+    prior_ts = F.when(k == 3, F.lit("2020-01-01T00:00:00+00:00"))
+    return ev.select(
+        "event_id",
+        *ytdlp_metadata_cols(info, prior_title, prior_content, prior_ts),
+    )
+
+
 def q_ots_roundtrip(spark, sf):
     """F17b OpenTimestamps detached proof (opentimestamps_enricher.py:38-98
     stamp + :128-172 verify summary; the calendar POST is declared
@@ -2012,6 +2074,7 @@ QUERIES = {
     "gdrive_folders": q_gdrive_folders,
     "gdrive_urls": q_gdrive_urls,
     "ots_roundtrip": q_ots_roundtrip,
+    "ytdlp_metadata": q_ytdlp_metadata,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -2027,7 +2090,6 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "writeback_merge": q_writeback_merge,
     "deletion_detect": q_deletion_detect,
-    "extractor_routing": q_extractor_routing,
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -2040,6 +2102,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     # ---- entries 51+: rotated out of the gate window this round (all green
     # in r3 AND r4 or r2 AND r4; pytest + oracle SQL retained) ----
+    "extractor_routing": q_extractor_routing,
     "keys_to_clean": q_keys_to_clean,
     "is_empty": q_is_empty,
     "html_render": q_html_render,
@@ -2540,6 +2603,41 @@ ORACLE = {
                WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
+    """,
+    "ytdlp_metadata": """
+        WITH p AS (
+          SELECT event_id, event_id % 6 AS k,
+            1600000000 + event_id % 1000000 AS ts,
+            1650000000 + event_id % 1000 AS t0,
+            '2023' || lpad((1 + event_id % 12)::VARCHAR, 2, '0')
+                   || lpad((1 + event_id % 28)::VARCHAR, 2, '0') AS ud
+          FROM events)
+        SELECT event_id,
+          CASE WHEN k = 3 THEN 'P' || event_id
+               WHEN k IN (0, 4) THEN 'T' || event_id
+               WHEN k = 1 THEN 'FT' || event_id
+               ELSE '' END AS title,
+          CASE WHEN k = 3 THEN 'PC' || event_id
+               WHEN k IN (0, 2) THEN 'D' || event_id
+               ELSE '' END AS content,
+          CASE WHEN k = 3 THEN '2020-01-01T00:00:00+00:00'
+               WHEN k IN (0, 4) THEN
+                 strftime(make_timestamp(ts::BIGINT * 1000000),
+                          '%Y-%m-%dT%H:%M:%S') || '+00:00'
+          END AS ts_iso,
+          CASE WHEN k IN (0, 2)
+               THEN strptime(ud, '%Y%m%d')::DATE::VARCHAR END AS upload_date,
+          CASE WHEN k = 4 THEN
+            'a0:c0-' || event_id || ':'
+              || strftime(make_timestamp(t0::BIGINT * 1000000),
+                          '%Y-%m-%dT%H:%M:%S') || '+00:00'
+            || '|a1:c1-' || event_id || ':'
+              || strftime(make_timestamp((t0 + 60)::BIGINT * 1000000),
+                          '%Y-%m-%dT%H:%M:%S') || '+00:00'
+          END AS comments_csv,
+          CASE WHEN k = 0 THEN 'u' || (event_id % 50) END AS uploader,
+          CASE WHEN k = 0 THEN event_id % 10000 + 1 END::BIGINT AS view_count
         FROM p
     """,
     "ots_roundtrip": """

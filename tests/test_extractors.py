@@ -250,3 +250,36 @@ def test_antibot_vk_sanitize(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.s for r in df.select(antibot_sanitize_expr(F.col("url")).alias("s")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_ytdlp_metadata_kernel(spark):
+    """X2 add_metadata core (generic_extractor.py:297-348): title fallback
+    chain, priors win iff truthy, falsy timestamp/view_count dropped,
+    epoch rendered as UTC isoformat."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.operators.extractors import ytdlp_metadata_cols
+
+    rows = [
+        (1, '{"title":"T","fulltitle":"FT","timestamp":1650000123}', None, None, None),
+        (2, '{"fulltitle":"FT only"}', None, None, None),
+        (3, '{"title":"T","description":"D","timestamp":5}', "PRIOR", "PC",
+         "2020-01-01T00:00:00+00:00"),
+        (4, '{"timestamp":0,"view_count":0,"uploader":""}', None, None, None),
+        (5, "{}", "", None, None),  # empty-string prior is falsy like the reference
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, j string, pt string, pc string, pts string"
+    )
+    out = {r["id"]: r for r in df.select(
+        "id", *ytdlp_metadata_cols(F.col("j"), F.col("pt"), F.col("pc"), F.col("pts"))
+    ).collect()}
+    assert out[1]["title"] == "T" and out[1]["ts_iso"] == "2022-04-15T05:22:03+00:00"
+    assert out[2]["title"] == "FT only"
+    # truthy priors always win
+    assert out[3]["title"] == "PRIOR" and out[3]["content"] == "PC"
+    assert out[3]["ts_iso"] == "2020-01-01T00:00:00+00:00"
+    # falsy values dropped like the reference's `if v:` / `if timestamp:`
+    assert out[4]["ts_iso"] is None and out[4]["view_count"] is None
+    assert out[4]["uploader"] is None
+    assert out[5]["title"] == "" and out[5]["content"] == ""
