@@ -80,3 +80,112 @@ def fingerprint64_expr(text: Column) -> Column:
     done natively via xxhash64 of the normalized string."""
     norm = F.regexp_replace(F.lower(F.trim(text)), _WS, " ")
     return F.xxhash64(norm)
+
+
+# ---- corpus-curation additions (C4 / Gopher published rules, engine tier) ---------
+
+# C4's line-level cleaning (Raffel et al. 2020 §2.2, public rules): keep
+# lines that end in terminal punctuation and have >= 3 words; drop lines
+# carrying boilerplate markers. Phrase panel kept to the published examples.
+C4_DROP_MARKERS = ("javascript", "cookie", "lorem ipsum", "terms of use", "privacy policy")
+_C4_MIN_WORDS = 3
+_TERMINAL = ('.', '!', '?', '"', "'")
+
+
+def _line_ok(line: Column) -> Column:
+    t = F.trim(line)
+    lower = F.lower(t)
+    ends_ok = None
+    for p in _TERMINAL:
+        e = t.endswith(p)
+        ends_ok = e if ends_ok is None else (ends_ok | e)
+    words_ok = F.size(F.split(t, _WS)) >= _C4_MIN_WORDS
+    marker_hit = None
+    for m in C4_DROP_MARKERS:
+        h = lower.contains(m)
+        marker_hit = h if marker_hit is None else (marker_hit | h)
+    return (t != "") & ends_ok & words_ok & ~marker_hit
+
+
+def c4_clean_cols(text: Column) -> list[Column]:
+    """C4 line filter as one native transform: the cleaned text (kept lines
+    newline-joined) plus kept/dropped line counts. No Python, no shuffle —
+    a per-row projection at any corpus size."""
+    lines = F.split(text, r"\n")
+    nonempty = F.filter(lines, lambda ln: F.trim(ln) != "")
+    kept = F.filter(lines, _line_ok)
+    return [
+        F.array_join(F.transform(kept, lambda ln: F.trim(ln)), "\n").alias("clean_text"),
+        F.size(kept).alias("kept_lines"),
+        (F.size(nonempty) - F.size(kept)).alias("dropped_lines"),
+    ]
+
+
+def gopher_repetition_cols(text: Column) -> list[Column]:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1, public thresholds)
+    as exact integer counts — fractions are left to the caller so no float
+    crosses the correctness gate:
+
+    * ``total_lines`` / ``distinct_lines`` — duplicate-line fraction is
+      ``1 - distinct/total``;
+    * ``dup_line_chars`` — characters in lines occurring >= 2 times (the
+      'fraction of characters in duplicated lines' numerator; all
+      occurrences counted) vs ``total_chars``;
+    * ``top_bigram`` / ``top_bigram_count`` — the most frequent word
+      2-gram, ties broken lexicographically (deterministic both engines).
+
+    Native higher-order functions over the line/word arrays: aggregate-
+    with-filter per distinct element — O(L^2) comparisons per DOCUMENT
+    (lines per doc are bounded), zero shuffles, zero Python."""
+    lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
+    tlines = F.transform(lines, lambda ln: F.trim(ln))
+    dlines = F.array_distinct(tlines)
+    # chars in lines whose occurrence count >= 2 (each occurrence counted)
+    dup_chars = F.aggregate(
+        tlines,
+        F.lit(0),
+        lambda acc, ln: acc
+        + F.when(
+            F.size(F.filter(tlines, lambda x: x == ln)) >= 2, F.length(ln)
+        ).otherwise(F.lit(0)),
+    )
+    # split keeps empty fragments at text boundaries (and F.trim strips
+    # spaces only, not newlines) — filter them out of the word stream
+    words = F.filter(F.split(text, _WS), lambda w: w != "")
+    n = F.size(words)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    dgrams = F.array_distinct(grams)
+    # (count, gram) pairs; max by count then lexicographic min on ties via
+    # array_max over struct ordering (count asc, gram desc -> invert gram)
+    best = F.array_max(
+        F.transform(
+            dgrams,
+            lambda g: F.struct(
+                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
+                # struct comparison is field-order: to make ties pick the
+                # LEXICOGRAPHICALLY SMALLEST gram under array_max, order by
+                # a descending key; negating a string needs a trick — use
+                # the gram itself but compare via (c, neg) is unavailable,
+                # so resolve ties in a second pass below
+                g.alias("g"),
+            ),
+        )
+    )
+    top_count = best["c"]
+    # second pass: smallest gram among those with the max count
+    top_gram = F.array_min(
+        F.filter(dgrams, lambda g: F.size(F.filter(grams, lambda x: x == g)) == top_count)
+    )
+    return [
+        F.size(tlines).alias("total_lines"),
+        F.size(dlines).alias("distinct_lines"),
+        dup_chars.cast("long").alias("dup_line_chars"),
+        F.length(F.array_join(tlines, "")).cast("long").alias("total_line_chars"),
+        F.when(top_count.isNotNull() & (F.size(grams) > 0), top_gram).alias("top_bigram"),
+        F.coalesce(
+            F.when(F.size(grams) > 0, top_count), F.lit(0)
+        ).alias("top_bigram_count"),
+    ]

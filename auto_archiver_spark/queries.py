@@ -1887,6 +1887,50 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_c4_clean(spark, sf):
+    """C4 line-level cleaning (published Raffel et al. rules subset:
+    terminal punctuation, >=3 words, boilerplate markers) as one native
+    transform (functions/text.py c4_clean_cols). Synthesized five-line docs
+    with known keep/drop structure; the oracle reassembles the expected
+    cleaned text and counts from the generating params."""
+    from .functions.text import c4_clean_cols  # noqa: PLC0415
+
+    doc = load(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    s = did.cast("string")
+    good1 = F.concat(F.lit("This is a good line number "), s, F.lit("."))
+    good2 = F.lit("Another fine sentence with words!")
+    text = F.concat_ws(
+        "\n",
+        good1,
+        F.lit("short line"),  # no terminal punctuation
+        F.lit("Please enable javascript to view this page."),  # marker
+        F.when(F.pmod(did, F.lit(2)) == 0, good2).otherwise(F.lit("tiny.")),
+        F.lit(""),  # empty line: ignored entirely
+    )
+    return doc.select("doc_id", *c4_clean_cols(text))
+
+
+def q_gopher_repetition(spark, sf):
+    """Gopher repetition signals (published Rae et al. §A1.1 measures) as
+    exact integer counts over native higher-order functions
+    (functions/text.py gopher_repetition_cols) — duplicate-line counts,
+    duplicated-line characters, top word-bigram with lexicographic
+    tie-break. Docs synthesized with a planted duplicate line repeated
+    1 + doc_id%3 times; the oracle computes every count in closed form."""
+    from .functions.text import gopher_repetition_cols  # noqa: PLC0415
+
+    doc = load(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id")
+    r = (F.pmod(did, F.lit(3)) + 1).cast("int")
+    a = F.concat(F.lit("aa bb c"), F.pmod(did, F.lit(5)).cast("string"))
+    b = F.concat(F.lit("unique "), did.cast("string"))
+    text = F.array_join(
+        F.concat(F.array_repeat(a, r), F.array(b)), "\n"
+    )
+    return doc.select("doc_id", *gopher_repetition_cols(text))
+
+
 def q_ytdlp_metadata(spark, sf):
     """X2's deterministic core: the generic yt-dlp extractor's info-dict →
     Metadata mapping (generic_extractor.py:297-348 add_metadata — title
@@ -2075,6 +2119,8 @@ QUERIES = {
     "gdrive_urls": q_gdrive_urls,
     "ots_roundtrip": q_ots_roundtrip,
     "ytdlp_metadata": q_ytdlp_metadata,
+    "c4_clean": q_c4_clean,
+    "gopher_repetition": q_gopher_repetition,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -2086,8 +2132,6 @@ QUERIES = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
     # (d) green r2+r4
-    "phash_pairs": q_phash_pairs,
-    "dedup_components": q_dedup_components,
     "writeback_merge": q_writeback_merge,
     "deletion_detect": q_deletion_detect,
     # (e) core frontier/dedup operators kept in-window every round
@@ -2109,6 +2153,8 @@ QUERIES = {
     "content_append": q_content_append,
     "atlos_feed": q_atlos_feed,
     "livestream_skip": q_livestream_skip,
+    "phash_pairs": q_phash_pairs,
+    "dedup_components": q_dedup_components,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2603,6 +2649,38 @@ ORACLE = {
                WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
+    """,
+    "c4_clean": """
+        WITH p AS (SELECT doc_id, doc_id % 2 AS even FROM documents),
+        l AS (SELECT doc_id, even,
+                'This is a good line number ' || doc_id || '.' AS good1,
+                'Another fine sentence with words!' AS good2
+              FROM p)
+        SELECT doc_id,
+          CASE WHEN even = 0 THEN good1 || chr(10) || good2 ELSE good1 END
+            AS clean_text,
+          CASE WHEN even = 0 THEN 2 ELSE 1 END AS kept_lines,
+          -- 4 nonempty lines total ('tiny.' has a terminal dot but < 3
+          -- words; 'short line' fails both; the javascript line is a
+          -- marker hit)
+          CASE WHEN even = 0 THEN 2 ELSE 3 END AS dropped_lines
+        FROM l
+    """,
+    "gopher_repetition": """
+        WITH p AS (
+          SELECT doc_id, (doc_id % 3 + 1)::INTEGER AS r,
+                 'aa bb c' || (doc_id % 5) AS a,
+                 'unique ' || doc_id AS b
+          FROM documents)
+        SELECT doc_id,
+          (r + 1)::INTEGER AS total_lines,
+          2 AS distinct_lines,
+          (CASE WHEN r >= 2 THEN r * strlen(a) ELSE 0 END)::BIGINT
+            AS dup_line_chars,
+          (r * strlen(a) + strlen(b))::BIGINT AS total_line_chars,
+          'aa bb' AS top_bigram,
+          r AS top_bigram_count
         FROM p
     """,
     "ytdlp_metadata": """

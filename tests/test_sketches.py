@@ -207,3 +207,46 @@ def test_hashed_shingles_jaccard_matches_string_shingles(spark):
 
     for a, b in [(0, 1), (0, 2), (1, 2)]:
         assert jac(hashed, a, b) == pytest.approx(jac(strings, a, b))
+
+
+def test_c4_clean_kernel(spark):
+    """C4 line rules: terminal punctuation, >=3 words, marker phrases;
+    counts ignore empty lines; output lines are trimmed."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.functions.text import c4_clean_cols
+
+    text = "\n".join([
+        "  A proper sentence right here.  ",
+        "no punctuation here",
+        "Too short.",
+        "We use cookies on this site.",   # marker
+        "",
+        'He said "stop"',                 # ends in quote -> kept
+    ])
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(*c4_clean_cols(F.col("t"))).collect()[0]
+    assert row.clean_text == 'A proper sentence right here.\nHe said "stop"'
+    assert row.kept_lines == 2 and row.dropped_lines == 3
+
+
+def test_gopher_repetition_kernel(spark):
+    """Exact repetition counts + lexicographic bigram tie-break."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.functions.text import gopher_repetition_cols
+
+    text = "dup line\ndup line\nother text\nzz aa zz aa"
+    df = spark.createDataFrame([(text,), ("one\n\n",), ("",)], "t string")
+    rows = df.select("t", *gopher_repetition_cols(F.col("t"))).collect()
+    r = next(x for x in rows if x.t == text)
+    assert r.total_lines == 4 and r.distinct_lines == 3
+    assert r.dup_line_chars == 16  # 'dup line' twice
+    # bigrams: 'dup line' x2? words are split across ALL whitespace: the
+    # text has 'line dup' too; 'aa zz','zz aa' counts: zz aa=2, aa zz=1,
+    # dup line=2, line dup=1, line other=1, other text=1, text zz=1
+    # -> max count 2, tie {dup line, zz aa} -> 'dup line'
+    assert r.top_bigram == "dup line" and r.top_bigram_count == 2
+    single = next(x for x in rows if x.t == "one\n\n")
+    assert single.total_lines == 1 and single.top_bigram is None
+    assert single.top_bigram_count == 0
