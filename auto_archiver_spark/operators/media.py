@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -116,3 +117,67 @@ def probe_media(df: DataFrame, id_cols: list[str], bytes_col: str = "bytes") -> 
             yield out
 
     return df.mapInPandas(probe, out_schema)
+
+
+_CURATION_SCHEMA = StructType(
+    [
+        StructField("img_w", IntegerType()),
+        StructField("img_h", IntegerType()),
+        StructField("mean_red_milli", LongType()),
+        StructField("is_flat", BooleanType()),
+        StructField("aspect_ok", BooleanType()),
+        StructField("min_dim_ok", BooleanType()),
+        StructField("img_err", StringType()),
+    ]
+)
+
+# image-curation thresholds (LAION-style published filter shapes: aspect
+# ratio within [1/4, 4], smallest side >= 32 px)
+_ASPECT_MAX = 4.0
+_MIN_DIM = 32
+
+
+def image_curation(df: DataFrame, id_cols: list[str], bytes_col: str = "bytes") -> DataFrame:
+    """Training-data image curation stats (engine tier; the reference
+    archives media — a 100 TB image+caption corpus additionally filters
+    them): per payload the decoded dimensions, an exact pixel statistic
+    (floor(1000 * mean(red)) — integer arithmetic so the cross-engine gate
+    has no float), a flat-image flag (zero information content), and the
+    published aspect-ratio / min-dimension filter flags. Arrow-batched
+    ``mapInPandas`` over the real codec; coarse error categories like
+    probe_media."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from ..functions.codec import decode_image  # noqa: PLC0415
+
+    src = df.select(*id_cols, bytes_col)
+    out_schema = StructType([src.schema[c] for c in id_cols] + list(_CURATION_SCHEMA.fields))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf[bytes_col]:
+                if raw is None or len(raw) == 0:
+                    rows.append((None, None, None, None, None, None, "empty"))
+                    continue
+                try:
+                    px = decode_image(bytes(raw))
+                    h, w = px.shape[:2]
+                    red = px[:, :, 0].astype(np.int64)
+                    mean_milli = int(1000 * int(red.sum()) // (h * w))
+                    flat = bool((px == px[0, 0]).all())
+                    aspect = w / h if h else 0.0
+                    aspect_ok = bool(1.0 / _ASPECT_MAX <= aspect <= _ASPECT_MAX)
+                    min_ok = bool(min(w, h) >= _MIN_DIM)
+                    rows.append((w, h, mean_milli, flat, aspect_ok, min_ok, None))
+                except (ValueError, IndexError, KeyError):
+                    rows.append((None, None, None, None, None, None, "decode_error"))
+            parsed = pd.DataFrame(
+                rows, columns=[f.name for f in _CURATION_SCHEMA.fields], index=pdf.index
+            )
+            yield pd.concat([pdf[id_cols], parsed], axis=1)
+
+    return src.mapInPandas(run, schema=out_schema)

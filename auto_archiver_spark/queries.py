@@ -1887,6 +1887,63 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_image_curation(spark, sf):
+    """Training-data image curation (engine tier): decode → exact pixel
+    statistic (floor-milli mean of the red plane — integer arithmetic, no
+    float crosses the gate), flat-image detection, published aspect-ratio /
+    min-dimension filter flags (operators/media.py image_curation).
+    Synthesize-then-parse: five payload shapes (flat / two-tone / tiny /
+    extreme-aspect / garbage) built with the REAL codec; the oracle
+    computes every stat in closed form from the generating params. Filter
+    flags cast to int (nullable booleans are not gate-stable)."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from .functions.codec import encode_image  # noqa: PLC0415
+    from .operators.media import image_curation  # noqa: PLC0415
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                did = int(raw)
+                k = did % 5
+                if k == 0:
+                    w, h, v = 40 + did % 30, 40 + did % 20, (did * 7) % 256
+                    px = np.full((h, w, 3), v, dtype=np.uint8)
+                    b = encode_image(px, "png")
+                elif k == 1:
+                    w, h = 2 * (20 + did % 10), 34
+                    v1 = did % 200
+                    px = np.full((h, w, 3), v1, dtype=np.uint8)
+                    px[:, w // 2 :, :] = v1 + 50
+                    b = encode_image(px, "png")
+                elif k == 2:
+                    px = np.full((8, 8, 3), 99, dtype=np.uint8)
+                    b = encode_image(px, "png")
+                elif k == 3:
+                    px = np.full((10, 200, 3), 7, dtype=np.uint8)
+                    b = encode_image(px, "png")
+                else:
+                    b = b"not-an-image-%d" % did
+                rows.append({"doc_id": did, "bytes": b})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "bytes"])
+
+    payloads = load(spark, sf, "documents").select("doc_id").mapInPandas(
+        make, "doc_id long, bytes binary"
+    )
+    out = image_curation(payloads, ["doc_id"])
+    return out.select(
+        "doc_id", "img_w", "img_h", "mean_red_milli",
+        F.col("is_flat").cast("int").alias("is_flat"),
+        F.col("aspect_ok").cast("int").alias("aspect_ok"),
+        F.col("min_dim_ok").cast("int").alias("min_dim_ok"),
+        "img_err",
+    )
+
+
 def q_c4_clean(spark, sf):
     """C4 line-level cleaning (published Raffel et al. rules subset:
     terminal punctuation, >=3 words, boilerplate markers) as one native
@@ -2121,6 +2178,7 @@ QUERIES = {
     "ytdlp_metadata": q_ytdlp_metadata,
     "c4_clean": q_c4_clean,
     "gopher_repetition": q_gopher_repetition,
+    "image_curation": q_image_curation,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -2133,7 +2191,6 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     # (d) green r2+r4
     "writeback_merge": q_writeback_merge,
-    "deletion_detect": q_deletion_detect,
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -2155,6 +2212,7 @@ QUERIES = {
     "livestream_skip": q_livestream_skip,
     "phash_pairs": q_phash_pairs,
     "dedup_components": q_dedup_components,
+    "deletion_detect": q_deletion_detect,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2649,6 +2707,26 @@ ORACLE = {
                WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
+    """,
+    "image_curation": """
+        WITH p AS (SELECT doc_id, doc_id % 5 AS k FROM documents)
+        SELECT doc_id,
+          CASE k WHEN 0 THEN 40 + doc_id % 30
+                 WHEN 1 THEN 2 * (20 + doc_id % 10)
+                 WHEN 2 THEN 8 WHEN 3 THEN 200 END::INTEGER AS img_w,
+          CASE k WHEN 0 THEN 40 + doc_id % 20
+                 WHEN 1 THEN 34 WHEN 2 THEN 8 WHEN 3 THEN 10 END::INTEGER
+            AS img_h,
+          CASE k WHEN 0 THEN 1000 * ((doc_id * 7) % 256)
+                 WHEN 1 THEN 500 * (2 * (doc_id % 200) + 50)
+                 WHEN 2 THEN 99000 WHEN 3 THEN 7000 END::BIGINT
+            AS mean_red_milli,
+          CASE k WHEN 1 THEN 0 WHEN 4 THEN NULL ELSE 1 END AS is_flat,
+          CASE k WHEN 3 THEN 0 WHEN 4 THEN NULL ELSE 1 END AS aspect_ok,
+          CASE WHEN k IN (0, 1) THEN 1 WHEN k = 4 THEN NULL ELSE 0 END
+            AS min_dim_ok,
+          CASE WHEN k = 4 THEN 'decode_error' END AS img_err
         FROM p
     """,
     "c4_clean": """
