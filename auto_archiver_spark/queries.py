@@ -1887,6 +1887,84 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_wacz_verify(spark, sf):
+    """WACZ resource-manifest verification (engine addition over X9 — the
+    reference unzips without integrity checks, wacz_extractor_enricher.py:
+    185-196; the WACZ spec's datapackage.json carries per-resource sha256 +
+    size). Synthesize-then-verify: per doc a real .wacz is BUILT (gzip WARC
+    members + pages.jsonl + manifest via sources/warc.py build_wacz),
+    mutated by doc_id%4 into ok / one-corrupted-digest / no-manifest /
+    garbage-zip shapes, then judged by verify_wacz (recomputed sha256 +
+    size per resource). The oracle knows the member count (1 + doc_id%3
+    archive chunks + pages.jsonl) and computes every count in closed
+    form."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .sources.warc import (  # noqa: PLC0415
+        build_http_response,
+        build_warc_record,
+        build_wacz,
+        verify_wacz,
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                did = int(raw)
+                k = did % 4
+                if k == 3:
+                    b = b"PK-not-a-zip-%d" % did
+                else:
+                    warc = build_warc_record(
+                        "response",
+                        f"https://h{did % 9}.example.com/p{did}",
+                        build_http_response(b"body-%d" % did, "text/html"),
+                    )
+                    b = build_wacz(
+                        warc,
+                        members=1 + did % 3,
+                        pages=[{"url": "u", "title": f"t{did}"}],
+                        with_digests=k != 2,
+                        corrupt_path="pages/pages.jsonl" if k == 1 else None,
+                    )
+                rows.append({"doc_id": did, "wacz": b})
+            yield pd.DataFrame.from_records(rows, columns=["doc_id", "wacz"])
+
+    payloads = load(spark, sf, "documents").select("doc_id").mapInPandas(
+        make, "doc_id long, wacz binary"
+    )
+
+    def judge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for did, raw in zip(pdf["doc_id"], pdf["wacz"]):
+                v = verify_wacz(bytes(raw))
+                recs.append({
+                    "doc_id": int(did),
+                    "resources_total": v["resources_total"],
+                    "resources_ok": v["resources_ok"],
+                    "mismatches": v["mismatches"],
+                    "missing": v["missing"],
+                    "verified": v["verified"],
+                    "verify_err": v["err"],
+                })
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=["doc_id", "resources_total", "resources_ok",
+                         "mismatches", "missing", "verified", "verify_err"],
+            )
+
+    return payloads.mapInPandas(
+        judge,
+        "doc_id long, resources_total int, resources_ok int, mismatches int,"
+        " missing int, verified int, verify_err string",
+    )
+
+
 def q_image_curation(spark, sf):
     """Training-data image curation (engine tier): decode → exact pixel
     statistic (floor-milli mean of the red plane — integer arithmetic, no
@@ -2179,6 +2257,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_repetition": q_gopher_repetition,
     "image_curation": q_image_curation,
+    "wacz_verify": q_wacz_verify,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
@@ -2189,8 +2268,7 @@ QUERIES = {
     "wacz_pages": q_wacz_pages,
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
-    # (d) green r2+r4
-    "writeback_merge": q_writeback_merge,
+    # (d) green r2+r4 — all rotated out this round (see entries 51+)
     # (e) core frontier/dedup operators kept in-window every round
     "frontier_admission": q_frontier_admission,
     "frontier_anti_join": q_frontier_anti_join,
@@ -2213,6 +2291,7 @@ QUERIES = {
     "phash_pairs": q_phash_pairs,
     "dedup_components": q_dedup_components,
     "deletion_detect": q_deletion_detect,
+    "writeback_merge": q_writeback_merge,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2707,6 +2786,21 @@ ORACLE = {
                WHEN k = 2 THEN 'tsa' || (event_id % 7) || '.example.com'
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
+        FROM p
+    """,
+    "wacz_verify": """
+        WITH p AS (SELECT doc_id, doc_id % 4 AS k,
+                          (1 + doc_id % 3) + 1 AS total
+                   FROM documents)
+        SELECT doc_id,
+          CASE WHEN k IN (0, 1) THEN total END::INTEGER AS resources_total,
+          CASE WHEN k = 0 THEN total WHEN k = 1 THEN total - 1 END::INTEGER
+            AS resources_ok,
+          CASE WHEN k = 0 THEN 0 WHEN k = 1 THEN 1 END::INTEGER AS mismatches,
+          CASE WHEN k IN (0, 1) THEN 0 END::INTEGER AS missing,
+          CASE WHEN k = 0 THEN 1 WHEN k = 1 THEN 0 END::INTEGER AS verified,
+          CASE WHEN k = 2 THEN 'no_manifest' WHEN k = 3 THEN 'bad_zip' END
+            AS verify_err
         FROM p
     """,
     "image_curation": """

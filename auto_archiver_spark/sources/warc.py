@@ -229,30 +229,99 @@ def build_warc_record(
     return head.encode("latin1") + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def build_wacz(warc_bytes: bytes, members: int = 2, pages: list[dict] | None = None) -> bytes:
+def build_wacz(
+    warc_bytes: bytes,
+    members: int = 2,
+    pages: list[dict] | None = None,
+    with_digests: bool = False,
+    corrupt_path: str | None = None,
+) -> bytes:
     """Fixture .wacz: split the WARC stream into ``members`` gzip chunks
     under ``archive/`` (the browsertrix layout the reference unzips and
     byte-merges, wacz_extractor_enricher.py:185-196) plus a minimal
     datapackage.json. Split points are arbitrary byte offsets — the merge
-    step byte-concatenates the gunzipped members, restoring the stream."""
+    step byte-concatenates the gunzipped members, restoring the stream.
+
+    ``with_digests=True`` writes the WACZ-spec resource manifest
+    (per-resource ``hash: sha256:<hex>`` + ``bytes``); ``corrupt_path``
+    flips the recorded digest of that resource (verification fixtures)."""
     import gzip  # noqa: PLC0415
+    import hashlib as _hl  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
 
-    buf = _io.BytesIO()
+    entries: list[tuple[str, bytes]] = []
     n = max(1, (len(warc_bytes) + members - 1) // members)
-    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
-        for idx, start in enumerate(range(0, len(warc_bytes), n)):
-            z.writestr(
-                f"archive/data-{idx:03d}.warc.gz",
-                gzip.compress(warc_bytes[start : start + n]),
-            )
-        z.writestr("datapackage.json", '{"profile": "data-package"}')
-        import json as _json  # noqa: PLC0415
-
-        z.writestr(
-            "pages/pages.jsonl",
-            "\n".join(_json.dumps(p) for p in (pages or [])),
+    for idx, start in enumerate(range(0, len(warc_bytes), n)):
+        entries.append(
+            (f"archive/data-{idx:03d}.warc.gz", gzip.compress(warc_bytes[start : start + n]))
         )
+    entries.append(
+        ("pages/pages.jsonl", "\n".join(_json.dumps(p) for p in (pages or [])).encode())
+    )
+    if with_digests:
+        resources = []
+        for name, data in entries:
+            digest = _hl.sha256(data).hexdigest()
+            if name == corrupt_path:
+                digest = ("0" if digest[0] != "0" else "1") + digest[1:]
+            resources.append({"path": name, "hash": f"sha256:{digest}", "bytes": len(data)})
+        pkg = _json.dumps({"profile": "data-package", "resources": resources})
+    else:
+        pkg = '{"profile": "data-package"}'
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, data in entries:
+            z.writestr(name, data)
+        z.writestr("datapackage.json", pkg)
     return buf.getvalue()
+
+
+def verify_wacz(wacz_bytes: bytes) -> dict:
+    """WACZ-spec resource verification (engine addition — the reference
+    unzips without checking; at ingest scale an unverified archive is a
+    silent corruption source): recompute sha256 + size of every resource
+    named in datapackage.json. Coarse error categories: ``bad_zip``,
+    ``no_manifest`` (no resources list — the spec-optional case)."""
+    import hashlib as _hl  # noqa: PLC0415
+    import json as _json  # noqa: PLC0415
+
+    out = {
+        "resources_total": None, "resources_ok": None,
+        "mismatches": None, "missing": None, "verified": None, "err": None,
+    }
+    try:
+        z = zipfile.ZipFile(_io.BytesIO(wacz_bytes))
+        names = set(z.namelist())
+        if "datapackage.json" not in names:
+            out["err"] = "no_manifest"
+            return out
+        pkg = _json.loads(z.read("datapackage.json"))
+    except (zipfile.BadZipFile, ValueError, KeyError):
+        out["err"] = "bad_zip"
+        return out
+    resources = pkg.get("resources")
+    if not resources:
+        out["err"] = "no_manifest"
+        return out
+    ok = miss = bad = 0
+    for res in resources:
+        path = res.get("path")
+        if path not in names:
+            miss += 1
+            continue
+        data = z.read(path)
+        want = str(res.get("hash", ""))
+        want_hex = want.split(":", 1)[1] if ":" in want else want
+        size_ok = res.get("bytes") is None or res["bytes"] == len(data)
+        if _hl.sha256(data).hexdigest() == want_hex and size_ok:
+            ok += 1
+        else:
+            bad += 1
+    out.update(
+        resources_total=len(resources), resources_ok=ok,
+        mismatches=bad, missing=miss, verified=int(bad == 0 and miss == 0),
+    )
+    return out
 
 
 def build_http_response(body: bytes, content_type: str) -> bytes:

@@ -199,3 +199,47 @@ def test_wacz_pages_jsonl_title_text(spark, tmp_path):
             for r in scan_wacz_pages(spark, str(tmp_path)).collect()}
     assert rows["a.wacz"] == ("Last", "hello\nworld")
     assert rows["b.wacz"] == (None, None)
+
+
+def test_verify_wacz_kernel():
+    """WACZ-spec manifest verification: recomputed sha256 + size per
+    resource; corrupted digest and missing resource counted separately;
+    digest-free packages degrade to no_manifest."""
+    from auto_archiver_spark.sources.warc import (
+        build_http_response,
+        build_warc_record,
+        build_wacz,
+        verify_wacz,
+    )
+
+    warc = build_warc_record(
+        "response", "https://x.example.com/p", build_http_response(b"hello", "text/html")
+    )
+    ok = verify_wacz(build_wacz(warc, members=2, pages=[{"title": "t"}], with_digests=True))
+    assert ok["verified"] == 1 and ok["mismatches"] == 0
+    assert ok["resources_total"] == 3 and ok["resources_ok"] == 3  # 2 chunks + pages
+
+    bad = verify_wacz(build_wacz(warc, members=2, with_digests=True,
+                                 corrupt_path="archive/data-000.warc.gz"))
+    assert bad["verified"] == 0 and bad["mismatches"] == 1 and bad["resources_ok"] == 2
+
+    assert verify_wacz(build_wacz(warc))["err"] == "no_manifest"
+    assert verify_wacz(b"junk")["err"] == "bad_zip"
+
+    # missing resource: manifest names a path the zip lacks
+    import io
+    import json
+    import zipfile
+
+    raw = build_wacz(warc, with_digests=True)
+    zin = zipfile.ZipFile(io.BytesIO(raw))
+    pkg = json.loads(zin.read("datapackage.json"))
+    pkg["resources"].append({"path": "archive/ghost.warc.gz", "hash": "sha256:00", "bytes": 1})
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as z:
+        for n in zin.namelist():
+            if n != "datapackage.json":
+                z.writestr(n, zin.read(n))
+        z.writestr("datapackage.json", json.dumps(pkg))
+    v = verify_wacz(out.getvalue())
+    assert v["missing"] == 1 and v["verified"] == 0
