@@ -1887,6 +1887,55 @@ def q_timestamp_resp(spark, sf):
     )
 
 
+def q_winnowing(spark, sf):
+    """Winnowing document fingerprints (Schleimer et al. 2003, the
+    published local-fingerprinting algorithm — the guarantee-bearing
+    upgrade over whole-document hashing for partial-overlap detection):
+    hashed word 3-grams → sliding window of 4 → per-window minimum →
+    distinct fingerprint set. Fully native HOFs over the portable
+    md5-int60 word hash + the same affine 3-gram combiner as minhash_lsh,
+    so DuckDB reproduces every fingerprint exactly. Each intermediate
+    array is materialized in its own projection (the r4-measured Catalyst
+    no-CSE-in-HOF-lambdas landmine)."""
+    d = load(spark, sf, "documents")
+    words = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    d1 = d.select("doc_id", words.alias("ws"))
+    d2 = d1.select(
+        "doc_id",
+        F.transform("ws", lambda w: _md5_int60(w) % F.lit(_MH_M)).alias("wv"),
+    )
+    kgram = F.transform(
+        F.sequence(F.lit(1), F.size("wv") - 2),
+        lambda i: (
+            (F.element_at("wv", i) * _SH_A) % _MH_M
+            + (F.element_at("wv", i + 1) * _SH_B) % _MH_M
+            + F.element_at("wv", i + 2)
+        ) % _MH_M,
+    )
+    d3 = d2.select(
+        "doc_id",
+        F.when(F.size("wv") >= 3, kgram)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("ks"),
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("ks") - 3),
+        lambda i: F.array_min(F.slice("ks", i, 4)),
+    )
+    d4 = d3.select(
+        "doc_id",
+        F.when(F.size("ks") >= 4, fps)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fs"),
+    )
+    dedup = F.array_sort(F.array_distinct("fs"))
+    return d4.select(
+        "doc_id",
+        F.size(F.array_distinct("fs")).alias("n_fps"),
+        F.array_join(F.transform(dedup, lambda x: x.cast("string")), ",").alias("fps_csv"),
+    )
+
+
 def q_wacz_verify(spark, sf):
     """WACZ resource-manifest verification (engine addition over X9 — the
     reference unzips without integrity checks, wacz_extractor_enricher.py:
@@ -2258,10 +2307,10 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "image_curation": q_image_curation,
     "wacz_verify": q_wacz_verify,
+    "winnowing": q_winnowing,
     # (c) first driver-verified in r4 — keep a second consecutive green
     "embedding_near_dup": q_embedding_near_dup,
     "media_probe": q_media_probe,
-    "json_dump": q_json_dump,
     "archive_duration": q_archive_duration,
     "ivf_topk": q_ivf_topk,
     "commit_csv": q_commit_csv,
@@ -2292,6 +2341,7 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "deletion_detect": q_deletion_detect,
     "writeback_merge": q_writeback_merge,
+    "json_dump": q_json_dump,
     "most_complete": q_most_complete,
     "merge_status": q_merge_status,
     "metadata_merge": q_metadata_merge,
@@ -2787,6 +2837,33 @@ ORACLE = {
                WHEN k IN (0, 3) THEN '' END AS ts_cert_chain,
           CASE WHEN k = 4 THEN 'decode_error' END AS ts_err
         FROM p
+    """,
+    "winnowing": f"""
+        WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x != '') AS ws
+                   FROM documents),
+        wh AS (SELECT doc_id,
+                 list_transform(ws,
+                   x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_M}) AS wv
+               FROM w),
+        kg AS (SELECT doc_id,
+                 CASE WHEN len(wv) >= 3 THEN
+                   [((wv[i] * {_SH_A}) % {_MH_M} + (wv[i+1] * {_SH_B}) % {_MH_M}
+                     + wv[i+2]) % {_MH_M}
+                    for i in generate_series(1, len(wv) - 2)]
+                 ELSE [] END AS ks
+               FROM wh),
+        fp AS (SELECT doc_id,
+                 CASE WHEN len(ks) >= 4 THEN
+                   [list_min(ks[i:i+3]) for i in generate_series(1, len(ks) - 3)]
+                 ELSE [] END AS fs
+               FROM kg)
+        SELECT doc_id,
+               len(list_distinct(fs))::INTEGER AS n_fps,
+               coalesce(array_to_string(
+                 list_sort(list_distinct(fs)), ','), '') AS fps_csv
+        FROM fp
     """,
     "wacz_verify": """
         WITH p AS (SELECT doc_id, doc_id % 4 AS k,
