@@ -237,3 +237,19 @@ def test_gdrive_upsert_single_shuffle_no_python(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_curation_kernels_stay_native(spark):
+    """The corpus-curation tier (c4_clean, gopher_repetition, winnowing)
+    must be pure Catalyst projections — no Python eval, no exchange."""
+    from auto_archiver_spark.queries import (
+        q_c4_clean,
+        q_gopher_repetition,
+        q_winnowing,
+        q_ytdlp_metadata,
+    )
+
+    for q in (q_c4_clean, q_gopher_repetition, q_winnowing, q_ytdlp_metadata):
+        plan = _plan(q(spark, SF), "simple")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "Exchange" not in plan, q
