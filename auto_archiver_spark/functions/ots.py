@@ -166,29 +166,40 @@ def _parse_attestation(data: bytes, off: int) -> tuple[tuple, int]:
 
 
 def _parse_timestamp(data: bytes, off: int, msg: bytes, out: list) -> int:
-    """Recursive tree walk mirroring serialization; appends
+    """Iterative tree walk mirroring serialization; appends
     (attested_msg, attestation) to ``out`` — the ``all_attestations``
-    equivalent the reference iterates (opentimestamps_enricher.py:140)."""
+    equivalent the reference iterates (opentimestamps_enricher.py:140).
+
+    Explicit work-stack, NOT recursion: an adversarial proof with a few
+    thousand chained ops must yield a decode_error row, never a
+    RecursionError task failure. Depth is still bounded (proof bytes can't
+    encode more frames than bytes) so no separate cap is needed."""
+    # Each stack frame is the message at that tree position; a frame is
+    # pushed for the continuation of a fork and popped when a subtree ends
+    # (its last non-forked op chain reaches an attestation).
+    stack: list[bytes] = []
     while True:
         if off >= len(data):
             raise OtsError("truncated timestamp")
         tag = data[off]
         off += 1
-        last = tag != TAG_FORK
-        if not last:
+        forked = tag == TAG_FORK
+        if forked:
             tag = data[off]
             off += 1
+            stack.append(msg)  # resume the sibling branch with this msg
         if tag == TAG_ATTESTATION:
             att, off = _parse_attestation(data, off)
             out.append((msg, att))
+            # subtree done: resume the innermost pending fork sibling
+            if not stack:
+                return off
+            msg = stack.pop()
         else:
             arg = None
             if tag in (TAG_OP_APPEND, TAG_OP_PREPEND):
                 arg, off = _read_varbytes(data, off)
-            child_msg = _apply_op(tag, arg, msg)
-            off = _parse_timestamp(data, off, child_msg, out)
-        if last:
-            return off
+            msg = _apply_op(tag, arg, msg)
 
 
 def ots_parse(data: bytes) -> dict:

@@ -24,6 +24,7 @@ LANG_STOPWORDS = {
 _WS = r"\s+"
 
 
+
 def tokens_expr(text: Column) -> Column:
     """Whitespace tokenization of trimmed text (empty text -> empty array)."""
     t = F.trim(text)
@@ -134,58 +135,116 @@ def gopher_repetition_cols(text: Column) -> list[Column]:
     * ``top_bigram`` / ``top_bigram_count`` — the most frequent word
       2-gram, ties broken lexicographically (deterministic both engines).
 
-    Native higher-order functions over the line/word arrays: aggregate-
-    with-filter per distinct element — O(L^2) comparisons per DOCUMENT
-    (lines per doc are bounded), zero shuffles, zero Python."""
+    Native higher-order functions over the line/word arrays, zero shuffles,
+    zero Python. The line-level passes are aggregate-with-filter per
+    distinct element — O(L^2) comparisons per DOCUMENT, fine because lines
+    per doc are bounded. The bigram pass must NOT be quadratic (a single
+    10k-word document would be 10^8 comparisons — ADVICE r5): instead the
+    gram array is ``array_sort``-ed once (O(W log W) per doc) and a single
+    ``aggregate`` fold finds the longest run of equal adjacent grams —
+    O(W), exact over the FULL word stream, and because the array is sorted
+    a strict ``>`` on run-length updates yields the lexicographically
+    smallest gram on count ties for free."""
     lines = F.filter(F.split(text, r"\n"), lambda ln: F.trim(ln) != "")
     tlines = F.transform(lines, lambda ln: F.trim(ln))
     dlines = F.array_distinct(tlines)
-    # chars in lines whose occurrence count >= 2 (each occurrence counted)
-    dup_chars = F.aggregate(
-        tlines,
-        F.lit(0),
-        lambda acc, ln: acc
-        + F.when(
-            F.size(F.filter(tlines, lambda x: x == ln)) >= 2, F.length(ln)
-        ).otherwise(F.lit(0)),
+    # chars in lines whose occurrence count >= 2 (each occurrence counted):
+    # same sorted run-length fold as the bigram pass — when a run reaches 2
+    # both occurrences' chars are added retroactively, each further repeat
+    # adds one line's chars. O(L log L), and `tlines` never appears inside
+    # a lambda (it would be recomputed per element — no CSE in HOFs).
+    dzero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("long").alias("tot"),
     )
+    dup_chars = F.aggregate(
+        F.array_sort(tlines),
+        dzero,
+        lambda acc, ln: F.struct(
+            ln.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (ln == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            (
+                acc["tot"]
+                + F.when(
+                    F.when(
+                        acc["prev"].isNotNull() & (ln == acc["prev"]), acc["run"] + 1
+                    ).otherwise(F.lit(1))
+                    == 2,
+                    F.length(ln).cast("long") * 2,
+                )
+                .when(
+                    F.when(
+                        acc["prev"].isNotNull() & (ln == acc["prev"]), acc["run"] + 1
+                    ).otherwise(F.lit(1))
+                    > 2,
+                    F.length(ln).cast("long"),
+                )
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("tot"),
+        ),
+    )["tot"]
     # split keeps empty fragments at text boundaries (and F.trim strips
     # spaces only, not newlines) — filter them out of the word stream
     words = F.filter(F.split(text, _WS), lambda w: w != "")
     n = F.size(words)
-    grams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1), F.element_at(words, i + 2)),
+    # Adjacent-pair grams via zip_with over two slices. CRITICAL: `words`
+    # (an O(W) split+filter of the whole document) must never appear INSIDE
+    # a per-element lambda — no CSE inside HOF lambdas means it would be
+    # recomputed per element, turning the pass quadratic (the r5 ADVICE
+    # stall). As plain array arguments the slices are evaluated once.
+    grams = F.when(n >= 2, F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )).otherwise(F.array().cast("array<string>"))
-    dgrams = F.array_distinct(grams)
-    # (count, gram) pairs; max by count then lexicographic min on ties via
-    # array_max over struct ordering (count asc, gram desc -> invert gram)
-    best = F.array_max(
-        F.transform(
-            dgrams,
-            lambda g: F.struct(
-                F.size(F.filter(grams, lambda x: x == g)).alias("c"),
-                # struct comparison is field-order: to make ties pick the
-                # LEXICOGRAPHICALLY SMALLEST gram under array_max, order by
-                # a descending key; negating a string needs a trick — use
-                # the gram itself but compare via (c, neg) is unavailable,
-                # so resolve ties in a second pass below
-                g.alias("g"),
-            ),
-        )
+    # Longest run of equal adjacent grams over the SORTED gram array.
+    # Fold state: (prev gram, current run length, best run length, best
+    # gram). Strict > on the best-update means the FIRST gram to reach a
+    # given run length wins — sorted order makes that the lexicographically
+    # smallest among count ties. The run-length condition is repeated
+    # inline rather than bound to a local (no CSE inside HOF lambdas, but
+    # it is a single string equality — cheaper than a second pass).
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
     )
-    top_count = best["c"]
-    # second pass: smallest gram among those with the max count
-    top_gram = F.array_min(
-        F.filter(dgrams, lambda g: F.size(F.filter(grams, lambda x: x == g)) == top_count)
+    best = F.aggregate(
+        F.array_sort(grams),
+        zero,
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(
+                F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1))
+                > acc["best"],
+                F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1)),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(
+                F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1))
+                > acc["best"],
+                g,
+            )
+            .otherwise(acc["bestg"])
+            .alias("bestg"),
+        ),
     )
     return [
         F.size(tlines).alias("total_lines"),
         F.size(dlines).alias("distinct_lines"),
         dup_chars.cast("long").alias("dup_line_chars"),
         F.length(F.array_join(tlines, "")).cast("long").alias("total_line_chars"),
-        F.when(top_count.isNotNull() & (F.size(grams) > 0), top_gram).alias("top_bigram"),
-        F.coalesce(
-            F.when(F.size(grams) > 0, top_count), F.lit(0)
-        ).alias("top_bigram_count"),
+        best["bestg"].alias("top_bigram"),
+        best["best"].alias("top_bigram_count"),
     ]

@@ -108,6 +108,15 @@ def sfv_parse(data: bytes) -> tuple[int, int, int, list[tuple[int, np.ndarray]]]
             raise SfvError("corrupt")
         off += plen
         planes.append((ts_ms, np.frombuffer(gray, dtype=np.uint8).reshape(h, w)))
+    # Keyframe-index invariants: the stream must start at ts 0, be strictly
+    # increasing, and stay inside the declared duration. Without this a
+    # parse-valid container whose earliest keyframe is AFTER the first
+    # sampled timestamp would make extract_frames' at-or-before selection
+    # an empty max() — a task failure, which malformed payloads must never
+    # cause (they become error rows instead).
+    ts_list = [ts for ts, _ in planes]
+    if ts_list[0] != 0 or ts_list != sorted(set(ts_list)) or ts_list[-1] > duration_ms:
+        raise SfvError("corrupt")
     return w, h, duration_ms, planes
 
 

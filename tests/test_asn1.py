@@ -225,3 +225,32 @@ def test_ots_build_parse_roundtrip():
         O.ots_parse(b"garbage")
     with _pytest.raises(O.OtsError):
         O.ots_parse(proof[:40])
+
+
+def test_ots_deep_op_chain_no_recursion(monkeypatch):
+    # ADVICE r5: the recursive walk blew the Python stack on a proof with a
+    # few thousand chained ops — an untrusted .ots must yield a decode
+    # error row, never a RecursionError task kill. The walk is now an
+    # explicit stack; a 5000-op chain must parse.
+    import hashlib
+    import sys
+
+    from auto_archiver_spark.functions import ots as O
+
+    d = hashlib.sha256(b"deep").digest()
+    att = bytes([O.TAG_ATTESTATION]) + O._attestation_bytes(("bitcoin", 800000))
+    proof = (
+        O.HEADER_MAGIC
+        + O.varuint_encode(1)
+        + bytes([O.TAG_OP_SHA256])
+        + d
+        + bytes([O.TAG_OP_SHA256]) * 5000
+        + att
+    )
+    monkeypatch.setattr(sys, "setrecursionlimit", lambda _n: None)  # no cheating
+    p = O.ots_parse(proof)
+    assert p["attestation_count"] == 1 and p["verified"]
+    m = d
+    for _ in range(5000):
+        m = hashlib.sha256(m).digest()
+    assert p["attested_digests"] == [m.hex()]

@@ -142,3 +142,33 @@ def test_audio_features_shape(spark, videos):
         assert len(r.rms) == 8 and len(r.zero_cross) == 8
         assert all(x >= 0 for x in r.rms)
         assert all(0 <= x <= 1 for x in r.zero_cross)
+
+
+def test_extract_frames_keyframe_index_invariants(spark):
+    # ADVICE r5: a parse-valid container whose earliest keyframe is LATER
+    # than the first sampled timestamp crashed the task (empty max()).
+    # sfv_parse now enforces ts0==0 / strictly-increasing / ts<=duration,
+    # so these payloads become deterministic 'corrupt' error rows.
+    import pandas as pd
+
+    plane = synthetic_plane(3, 0)
+    bad = [
+        # single keyframe at 50s of a 60s clip: first sample ts is 30000
+        sfv_encode(SFV_W, SFV_H, 60_000, [(50_000, plane)]),
+        # unsorted keyframes
+        sfv_encode(SFV_W, SFV_H, 60_000, [(0, plane), (40_000, plane), (20_000, plane)]),
+        # duplicate timestamps
+        sfv_encode(SFV_W, SFV_H, 60_000, [(0, plane), (0, plane)]),
+        # keyframe beyond the declared duration
+        sfv_encode(SFV_W, SFV_H, 60_000, [(0, plane), (70_000, plane)]),
+    ]
+    for b in bad:
+        with pytest.raises(SfvError) as ei:
+            sfv_parse(b)
+        assert ei.value.category == "corrupt"
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [str(i) for i in range(len(bad))], "bytes": bad})
+    )
+    rows = extract_frames(df).collect()
+    assert len(rows) == len(bad)
+    assert all(r.err == "corrupt" and r.frame_idx is None for r in rows)

@@ -250,3 +250,29 @@ def test_gopher_repetition_kernel(spark):
     single = next(x for x in rows if x.t == "one\n\n")
     assert single.total_lines == 1 and single.top_bigram is None
     assert single.top_bigram_count == 0
+
+
+def test_gopher_bigram_long_doc(spark):
+    """ADVICE r5: the top-bigram pass must not be quadratic in word count —
+    a 20k-word document must finish promptly (sorted run-length fold is
+    O(W log W)) and the count must be EXACT over the full word stream,
+    with the lexicographic tie-break preserved."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.functions.text import gopher_repetition_cols
+
+    # 20k unique filler words, with 'zz top' planted 40 times at the end
+    # and 'aa bb' 40 times at the front (tie -> lexicographically smaller)
+    head = "aa bb " * 40
+    mid = " ".join(f"w{i}" for i in range(20_000))
+    text = head + mid + " zz top" * 40
+    df = spark.createDataFrame([(text,)], "t string")
+    t0 = time.monotonic()
+    r = df.select(*gopher_repetition_cols(F.col("t"))).collect()[0]
+    elapsed = time.monotonic() - t0
+    assert r.top_bigram == "aa bb" and r.top_bigram_count == 40
+    # the old quadratic pass took minutes at 1k words; 20k words must be
+    # sub-10s wall including task dispatch
+    assert elapsed < 10, f"bigram pass too slow: {elapsed:.1f}s"
