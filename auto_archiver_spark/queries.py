@@ -2271,65 +2271,10 @@ def q_gdrive_urls(spark, sf):
 
 
 QUERIES = {
-    # r5 gate window = first 50 (the driver runs QUERIES[0:50]).
-    # (a) the 19 entries parked in r4 (green r2+r3, unseen by the r4 tree) —
-    # rotated back in per the r4 verdict so every entry has a recent green
-    "thumbnail_plan": q_thumbnail_plan,
-    "embedding_neighbors": q_embedding_neighbors,
-    "coalesce_merge": q_coalesce_merge,
-    "seen_set_except": q_seen_set_except,
-    "url_host": q_url_host,
-    "auth_wall": q_auth_wall,
-    "token_count": q_token_count,
-    "bpe_token_count": q_bpe_token_count,
-    "lang_guess": q_lang_guess,
-    "quality_score": q_quality_score,
-    "fingerprint": q_fingerprint,
-    "storage_key": q_storage_key,
-    "filename_truncate": q_filename_truncate,
-    "timestamp_format": q_timestamp_format,
-    "human_bytes": q_human_bytes,
-    "pdq_list": q_pdq_list,
-    "first_match": q_first_match,
-    "union_feeders": q_union_feeders,
-    "intersect_hosts": q_intersect_hosts,
-    # (b) new or semantics-extended THIS round (must be driver-verified)
-    "frames_extract": q_frames_extract,
-    "robots_parse": q_robots_parse,
-    "ssl_cert_parse": q_ssl_cert_parse,
-    "timestamp_req": q_timestamp_req,
-    "timestamp_resp": q_timestamp_resp,
-    "gdrive_folders": q_gdrive_folders,
-    "gdrive_urls": q_gdrive_urls,
-    "ots_roundtrip": q_ots_roundtrip,
-    "ytdlp_metadata": q_ytdlp_metadata,
-    "c4_clean": q_c4_clean,
-    "gopher_repetition": q_gopher_repetition,
-    "image_curation": q_image_curation,
-    "wacz_verify": q_wacz_verify,
-    "winnowing": q_winnowing,
-    # (c) first driver-verified in r4 — keep a second consecutive green
-    "embedding_near_dup": q_embedding_near_dup,
-    "media_probe": q_media_probe,
-    "archive_duration": q_archive_duration,
-    "ivf_topk": q_ivf_topk,
-    "commit_csv": q_commit_csv,
-    "wacz_pages": q_wacz_pages,
-    "minhash_lsh": q_minhash_lsh,
-    "simhash_buckets": q_simhash_buckets,
-    # (d) green r2+r4 — all rotated out this round (see entries 51+)
-    # (e) core frontier/dedup operators kept in-window every round
-    "frontier_admission": q_frontier_admission,
-    "frontier_anti_join": q_frontier_anti_join,
-    "url_canonicalize": q_url_canonicalize,
-    "url_relevance": q_url_relevance,
-    "url_best_quality": q_url_best_quality,
-    "dedup_first_per_key": q_dedup_first_per_key,
-    "pricing_summary": q_pricing_summary,
-    "dedup_exact_text": q_dedup_exact_text,
-    "ngram_jaccard": q_ngram_jaccard,
-    # ---- entries 51+: rotated out of the gate window this round (all green
-    # in r3 AND r4 or r2 AND r4; pytest + oracle SQL retained) ----
+    # r6 gate window = first 50 (the driver runs QUERIES[0:50]).
+    # (a) the 32 entries parked in r5 (green r3+r4 or r2+r4 on code
+    # unchanged since) — rotated back in per the r5 verdict so every entry
+    # keeps a green within 2 rounds
     "extractor_routing": q_extractor_routing,
     "keys_to_clean": q_keys_to_clean,
     "is_empty": q_is_empty,
@@ -2362,6 +2307,66 @@ QUERIES = {
     "wayback_status": q_wayback_status,
     "atlos_payload": q_atlos_payload,
     "atlos_upload_dedup": q_atlos_upload_dedup,
+    # (b) kernels CHANGED this round (sfv_parse keyframe invariants, OTS
+    # iterative walk, Gopher word cap) — must be driver-verified on the
+    # new code
+    "frames_extract": q_frames_extract,
+    "ots_roundtrip": q_ots_roundtrip,
+    "gopher_repetition": q_gopher_repetition,
+    # (c) first driver-verified in r5 — second consecutive green for the
+    # most complex new kernels (ASN.1/TSQ, robots RFC 9309, WACZ manifest,
+    # yt-dlp info-dict mapping)
+    "robots_parse": q_robots_parse,
+    "ssl_cert_parse": q_ssl_cert_parse,
+    "timestamp_req": q_timestamp_req,
+    "timestamp_resp": q_timestamp_resp,
+    "ytdlp_metadata": q_ytdlp_metadata,
+    "wacz_verify": q_wacz_verify,
+    # (d) core frontier/dedup operators kept in-window every round
+    "frontier_admission": q_frontier_admission,
+    "frontier_anti_join": q_frontier_anti_join,
+    "url_canonicalize": q_url_canonicalize,
+    "url_relevance": q_url_relevance,
+    "url_best_quality": q_url_best_quality,
+    "dedup_first_per_key": q_dedup_first_per_key,
+    "pricing_summary": q_pricing_summary,
+    "dedup_exact_text": q_dedup_exact_text,
+    "ngram_jaccard": q_ngram_jaccard,
+    # ---- entries 51+: rotated out of the gate window this round (all
+    # green in r5, code unchanged; pytest + oracle SQL retained; back in
+    # the r7 window) ----
+    "thumbnail_plan": q_thumbnail_plan,
+    "embedding_neighbors": q_embedding_neighbors,
+    "coalesce_merge": q_coalesce_merge,
+    "seen_set_except": q_seen_set_except,
+    "url_host": q_url_host,
+    "auth_wall": q_auth_wall,
+    "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
+    "lang_guess": q_lang_guess,
+    "quality_score": q_quality_score,
+    "fingerprint": q_fingerprint,
+    "storage_key": q_storage_key,
+    "filename_truncate": q_filename_truncate,
+    "timestamp_format": q_timestamp_format,
+    "human_bytes": q_human_bytes,
+    "pdq_list": q_pdq_list,
+    "first_match": q_first_match,
+    "union_feeders": q_union_feeders,
+    "intersect_hosts": q_intersect_hosts,
+    "gdrive_folders": q_gdrive_folders,
+    "gdrive_urls": q_gdrive_urls,
+    "c4_clean": q_c4_clean,
+    "image_curation": q_image_curation,
+    "winnowing": q_winnowing,
+    "embedding_near_dup": q_embedding_near_dup,
+    "media_probe": q_media_probe,
+    "archive_duration": q_archive_duration,
+    "ivf_topk": q_ivf_topk,
+    "commit_csv": q_commit_csv,
+    "wacz_pages": q_wacz_pages,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_buckets": q_simhash_buckets,
 }
 
 _TRACKERS_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','fbclid','gclid')"
