@@ -28,6 +28,7 @@ measures engine throughput, the budget math is asserted by tests.
 
 from __future__ import annotations
 
+import hashlib
 import re
 from collections.abc import Iterator
 
@@ -40,16 +41,40 @@ from ..sources.fixture import image_record
 
 _ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
 
+# One schema for both payload modes. Inline mode fills `bytes` and leaves the
+# blob-reference columns null; sidecar mode (plans/blobs.py — payload written
+# Python-side to a per-partition flat file, never crossing Arrow/parquet)
+# fills (blob_file, blob_off, blob_len, sha_hex) and leaves `bytes` null.
+# An all-null binary column costs ~one definition-level bit per row in the
+# staging parquet, so downstream code keeps a single shape.
 FETCH_RESULT_SCHEMA = (
     "sheet string, row_idx long, url string, url_norm string, url_hash long, host string, "
-    "folder string, status string, image_id string, bytes binary, w int, h int, fmt string, "
+    "folder string, status string, image_id string, bytes binary, "
+    "blob_file string, blob_off long, blob_len long, sha_hex string, "
+    "w int, h int, fmt string, "
     "caption string, phash long, pdq string, thumb binary, politeness_ms long"
 )
 
+_OUT_COLS = [
+    "sheet", "row_idx", "url", "url_norm", "url_hash", "host", "folder",
+    "status", "image_id", "bytes", "blob_file", "blob_off", "blob_len",
+    "sha_hex", "w", "h", "fmt", "caption", "phash", "pdq", "thumb",
+    "politeness_ms",
+]
 
-def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _fetch_batches(
+    batches: Iterator[pd.DataFrame], blob_root: str | None = None, blob_dir: str = ""
+) -> Iterator[pd.DataFrame]:
     # per-partition init happens here (sessions, buckets) — once, not per row
     host_elapsed: dict[str, int] = {}
+    writer = None
+    if blob_root is not None:
+        from pyspark import TaskContext  # noqa: PLC0415
+
+        from ..plans.blobs import BlobWriter  # noqa: PLC0415
+
+        writer = BlobWriter(blob_root, blob_dir, TaskContext.get().partitionId())
     for pdf in batches:
         n = len(pdf)
         # base columns + politeness accounting are pure pandas column ops
@@ -78,7 +103,10 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
         cols = {
             name: [None] * n
-            for name in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "pdq", "thumb")
+            for name in (
+                "image_id", "bytes", "blob_file", "blob_off", "blob_len",
+                "sha_hex", "w", "h", "fmt", "caption", "phash", "pdq", "thumb",
+            )
         }
         id_vals = ids.to_numpy()
         for i in range(n):
@@ -87,7 +115,17 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rec = image_record(int(id_vals[i]))
             px = decode_image(rec["bytes"])
             cols["image_id"][i] = rec["image_id"]
-            cols["bytes"][i] = rec["bytes"]
+            if writer is not None:
+                # payload -> flat sidecar file, hash while the buffer is hot
+                # (hashlib ~= the JVM sha2 in speed, and the bytes then never
+                # cross Arrow or touch parquet assembly at all)
+                rel, off, ln = writer.append(rec["bytes"])
+                cols["blob_file"][i] = rel
+                cols["blob_off"][i] = off
+                cols["blob_len"][i] = ln
+                cols["sha_hex"][i] = hashlib.sha256(rec["bytes"]).hexdigest()
+            else:
+                cols["bytes"][i] = rec["bytes"]
             cols["w"][i] = rec["w"]
             cols["h"][i] = rec["h"]
             cols["fmt"][i] = rec["fmt"]
@@ -98,29 +136,45 @@ def _fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for name, vals in cols.items():
             out[name] = pd.Series(vals, index=pdf.index, dtype="object")
         out["politeness_ms"] = politeness
-        yield out[
-            [
-                "sheet", "row_idx", "url", "url_norm", "url_hash", "host", "folder",
-                "status", "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                "pdq", "thumb", "politeness_ms",
-            ]
-        ]
+        yield out[_OUT_COLS]
+    if writer is not None:
+        writer.close()
 
 
-def fetch_archive(admitted: DataFrame) -> DataFrame:
+def fetch_archive(
+    admitted: DataFrame, blob_root: str | None = None, blob_dir: str = ""
+) -> DataFrame:
     """Run the fetch+enrich chain over admitted frontier rows; then the
-    native enrichers (F1 sha256, byte totals) JVM-side."""
-    fetched = admitted.mapInPandas(_fetch_batches, FETCH_RESULT_SCHEMA)
+    native enrichers (F1 sha256, byte totals) JVM-side.
+
+    ``blob_root`` switches on the payload sidecar (plans/blobs.py): bytes
+    are written per-partition to ``blob_root/blob_dir/part-*.bin`` inside
+    the UDF and rows carry references; the SHA-256 is computed in the same
+    loop (bit-identical "SHA-256:<hex>" tag either way)."""
+    if blob_root is None:
+        fn = _fetch_batches
+    else:
+        def fn(batches):
+            return _fetch_batches(batches, blob_root, blob_dir)
+
+    fetched = admitted.mapInPandas(fn, FETCH_RESULT_SCHEMA)
     return (
         fetched.withColumn(
             "hash",
             F.when(
+                F.col("sha_hex").isNotNull(),
+                F.concat(F.lit("SHA-256:"), F.col("sha_hex")),
+            ).when(
                 F.col("bytes").isNotNull(),
                 F.concat(F.lit("SHA-256:"), F.sha2(F.col("bytes"), 256)),
             ),
         )
-        .withColumn("total_bytes", F.coalesce(F.length("bytes"), F.lit(0)).cast("long"))
+        .withColumn(
+            "total_bytes",
+            F.coalesce(F.col("blob_len"), F.length("bytes"), F.lit(0)).cast("long"),
+        )
         .withColumn("processed_at", F.current_timestamp())
+        .drop("sha_hex")
     )
 
 

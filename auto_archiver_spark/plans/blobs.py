@@ -1,0 +1,126 @@
+"""Per-partition binary blob sidecar for heavy payload columns.
+
+The measured 32-wide scaling killer on this host (BENCH.md "Host variance",
+r4+r5) is the ALLOCATION RATE of the fetch+staging segment: pushing ~140 KB
+image payloads per row through Arrow into the JVM and assembling them into
+a parquet binary column buffers multi-GB per wave across 32 writer tasks.
+The reference never does this — it streams each download straight to a
+local file and keeps only metadata in its row
+(local_storage.py:25-37, metadata/media path fields).
+
+This module is the Spark-scale version of that idea: inside the Arrow UDF
+each task appends payload bytes to ONE flat sidecar file per partition
+(a straight buffered write — no Arrow crossing, no parquet assembly, no
+JVM copy) and the row carries a (blob_file, blob_off, blob_len) reference.
+On a real cluster the same write targets the executor-local volume or an
+object store (content-addressed, exactly what Iceberg deployments do with
+large binaries); the table stays skinny, so every shuffle, staging write
+and state commit moves metadata only.
+
+Determinism (resume tests fingerprint whole tables byte-for-byte):
+
+* the file name is ``blobs/wave=<w>/part-<pid>.bin`` — partition ids and
+  in-partition row order are deterministic for the same plan + input, so
+  reruns produce identical references and offsets;
+* paths are stored RELATIVE to the table-IO root, so two runs in different
+  roots fingerprint identically;
+* tasks write to a ``.tmp-<uuid>`` and ``os.replace`` at end-of-partition —
+  a retried/speculative attempt re-writes identical content and the rename
+  is atomic, so concurrent attempts cannot interleave.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+BLOB_COLS = "blob_file string, blob_off long, blob_len long"
+
+
+class BlobWriter:
+    """Appends payloads to one sidecar file per partition; lazy-open so
+    partitions with no payload rows create no file."""
+
+    def __init__(self, root: str, rel_dir: str, partition_id: int):
+        self.root = root
+        self.rel_path = os.path.join(rel_dir, f"part-{partition_id:05d}.bin")
+        self._tmp = os.path.join(root, self.rel_path + f".tmp-{uuid.uuid4().hex}")
+        self._fh = None
+        self._off = 0
+
+    def append(self, payload: bytes) -> tuple[str, int, int]:
+        if self._fh is None:
+            os.makedirs(os.path.dirname(self._tmp), exist_ok=True)
+            self._fh = open(self._tmp, "wb")  # noqa: SIM115 — closed in close()
+        off = self._off
+        self._fh.write(payload)
+        self._off += len(payload)
+        return self.rel_path, off, len(payload)
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()
+            os.replace(self._tmp, os.path.join(self.root, self.rel_path))
+            self._fh = None
+
+
+def materialize_bytes(
+    df: DataFrame,
+    root: str,
+    out_col: str = "bytes",
+    keep_refs: bool = False,
+) -> DataFrame:
+    """Re-attach payload bytes from the sidecar: rows with a non-null
+    ``blob_file`` get ``out_col`` read from ``root/blob_file[off:off+len]``;
+    rows with a null ref keep their existing ``out_col`` (inline mode).
+
+    Distributed and batch-grouped: each Arrow batch sorts by (file, offset)
+    so a partition's reads against one sidecar file are sequential, then
+    restores row order. Only the consumers that genuinely need pixels
+    (fidelity tests, export) pay this — every analytic consumer stays on
+    the skinny reference columns."""
+    has_inline = out_col in df.columns
+    cols = list(df.columns)
+    out_cols = cols if has_inline else [*cols, out_col]
+    fields = []
+    for f in df.schema.fields:
+        fields.append(f"`{f.name}` {f.dataType.simpleString()}")
+    if not has_inline:
+        fields.append(f"`{out_col}` binary")
+    out_schema = ", ".join(fields)
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, object] = {}
+        try:
+            for pdf in batches:
+                n = len(pdf)
+                vals = (
+                    list(pdf[out_col]) if has_inline else [None] * n
+                )
+                refs = [
+                    (i, pdf["blob_file"].iat[i], int(pdf["blob_off"].iat[i]), int(pdf["blob_len"].iat[i]))
+                    for i in range(n)
+                    if pdf["blob_file"].iat[i] is not None and not pd.isna(pdf["blob_file"].iat[i])
+                ]
+                for i, rel, off, ln in sorted(refs, key=lambda r: (r[1], r[2])):
+                    fh = handles.get(rel)
+                    if fh is None:
+                        fh = open(os.path.join(root, rel), "rb")  # noqa: SIM115
+                        handles[rel] = fh
+                    fh.seek(off)
+                    vals[i] = fh.read(ln)
+                out = pdf.copy()
+                out[out_col] = pd.Series(vals, index=pdf.index, dtype="object")
+                yield out[out_cols]
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    res = df.mapInPandas(_read, out_schema)
+    if not keep_refs:
+        res = res.drop("blob_file", "blob_off", "blob_len")
+    return res

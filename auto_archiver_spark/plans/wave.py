@@ -68,6 +68,14 @@ class CrawlConfig:
     # there too, it does not serialize the pipeline.
     state_commit_partitions: int = 4
     results_commit_partitions: int = 8
+    # Payload bytes sidecar (plans/blobs.py): the fetch UDF writes image
+    # payloads straight to per-partition flat files and stages only
+    # (blob_file, blob_off, blob_len) references — payload bytes never cross
+    # Arrow, never hit parquet assembly, never enter the JVM. This attacks
+    # the measured 32-wide allocation-rate throttle (BENCH.md r5: the
+    # governor trips in the fetch+staging-write segment itself). False =
+    # legacy inline bytes column (kept for A/B scaling measurement).
+    bytes_sidecar: bool = True
 
 
 @dataclass
@@ -172,10 +180,15 @@ def run_crawl(
         # straight into an uncompressed parquet staging table (persist() of
         # heavy binary rows costs ~5x the UDF itself in block-store copies;
         # a columnar staging write is one streaming pass, and every
-        # downstream reader except the images copy prunes the bytes column)
+        # downstream reader except the images copy prunes the bytes column).
+        # With bytes_sidecar the staging row is SKINNY: payloads go to flat
+        # per-partition blob files inside the UDF (plans/blobs.py) and the
+        # parquet carries only references.
         fetch_plan = fetch_archive(
             salted_fetch_repartition(admitted.drop("admitted", "robots_blocked"),
-                                     config.fetch_partitions)
+                                     config.fetch_partitions),
+            blob_root=io.root if config.bytes_sidecar else None,
+            blob_dir=f"blobs/wave={wave}",
         )
         snap_ids = {}
         # small row groups for the wide-binary staging table: the default
@@ -233,7 +246,12 @@ def run_crawl(
             snap_ids["fetch_out"],
             wave,
             select=[
-                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                # both payload forms survive the projection: inline `bytes`
+                # (legacy mode) or sidecar refs (plans/blobs.py
+                # materialize_bytes re-attaches pixels for the consumers
+                # that need them) — one stable images schema either way
+                "image_id", "bytes", "blob_file", "blob_off", "blob_len",
+                "w", "h", "fmt", "caption", "phash",
                 "hash AS sha256", "thumb", f"CAST({wave} AS INT) AS wave",
             ],
             where="status = 'success'",

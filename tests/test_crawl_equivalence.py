@@ -52,8 +52,15 @@ def test_seen_set_matches_oracle(crawl):
 
 
 def test_captions_and_pixels_match_oracle(crawl):
+    from auto_archiver_spark.plans.blobs import materialize_bytes
+
     spark, io, stats, oracle = crawl
-    imgs = {r.image_id: r for r in io.read(spark, "images").collect()}
+    # payloads live in the blob sidecar (plans/blobs.py) — re-attach them
+    # distributed; only fidelity consumers like this pay the read
+    imgs = {
+        r.image_id: r
+        for r in materialize_bytes(io.read(spark, "images"), io.root).collect()
+    }
     assert imgs
     checked = 0
     by_id = {iid: (cap, src) for (iid, cap, src) in oracle.archived.values()}

@@ -18,9 +18,12 @@ a real cluster local storage scales WITH the executor count — a shared
 throttled disk would measure the sandbox, not the engine. tmpfs (916 MB/s
 measured) is the faithful per-executor-storage stand-in.
 
-Usage: python tools/scaling_bench.py [seed_n] [pairs] [lo] [hi] [wave|fetch]
-(defaults 12000 2 8 32 wave). "fetch" measures only the salted fetch/enrich
-stage into a noop sink — per-URL work without per-wave fixed bookkeeping.
+Usage: python tools/scaling_bench.py [seed_n] [pairs] [lo] [hi] [mode]
+(defaults 12000 2 8 32 wave). Modes: "wave" = full wave with the payload
+blob sidecar (plans/blobs.py, the default config); "wave-inline" = full
+wave with legacy inline bytes staging (the A/B control for the r5 throttle
+trigger); "fetch" measures only the salted fetch/enrich stage into a noop
+sink — per-URL work without per-wave fixed bookkeeping.
 Writes JSON to stdout; BENCH/BASELINE.md records the results.
 """
 
@@ -88,7 +91,8 @@ spark.sparkContext.setLogLevel("ERROR")
 policy = (host_policy_df(spark)
           .withColumn("max_tokens", F.lit(10_000_000))
           .withColumn("crawl_delay_ms", F.lit(0)))
-cfg = CrawlConfig(wave_seconds=3600.0, fetch_partitions=cores * 4, max_waves=1)
+cfg = CrawlConfig(wave_seconds=3600.0, fetch_partitions=cores * 4, max_waves=1,
+                  bytes_sidecar={sidecar})
 # warmup: JVM JIT, python worker spawn, parquet writer, shuffle paths
 w = tempfile.mkdtemp(dir="/dev/shm")
 run_crawl(spark, TableIO(w), WaveCheckpoint(w), frontier_seed_df(spark, 300), policy, cfg)
@@ -128,7 +132,10 @@ def run_at(cores: int, seed_n: int, mode: str = "wave") -> dict:
     workers all 32 cores, inflating the small-cluster baseline and making
     true scaling unmeasurable."""
     tmpl = CHILD_FETCH if mode == "fetch" else CHILD
-    code = tmpl.format(repo=REPO, cores=cores, seed_n=seed_n)
+    code = tmpl.format(
+        repo=REPO, cores=cores, seed_n=seed_n,
+        sidecar=(mode != "wave-inline"),
+    )
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
