@@ -76,6 +76,14 @@ class CrawlConfig:
     # governor trips in the fetch+staging-write segment itself). False =
     # legacy inline bytes column (kept for A/B scaling measurement).
     bytes_sidecar: bool = True
+    # Optional outlink expansion: a callable (archive_results_df) -> seed-
+    # shaped DataFrame (sheet, row_idx, url, status, folder) of URLs
+    # discovered this wave. They re-enter the next wave through the same
+    # canonicalize -> in-wave dedup -> anti-join-vs-url_seen path as seeds,
+    # so already-crawled children are dropped by the frontier, not the
+    # expander. This is the batch-iterative crawl loop proper (the reference
+    # archives fixed lists; a web-scale frontier grows itself).
+    link_expander: object = None
 
 
 @dataclass
@@ -338,6 +346,11 @@ def run_crawl(
                 options=_state_opts,
             )
         next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+        if config.link_expander is not None:
+            children = canonicalize(
+                seed_filter(config.link_expander(results)), strict=config.strict_urls
+            ).select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+            next_frontier = next_frontier.unionByName(children)
         snap_ids["frontier"] = io.commit(
             next_frontier.coalesce(n_state),
             "frontier",
@@ -396,7 +409,7 @@ def run_crawl(
 
         if stop_after_wave is not None and wave >= stop_after_wave:
             return stats
-        if ws.deferred == 0:
-            break
+        if ws.deferred == 0 and config.link_expander is None:
+            break  # with an expander the loop-top isEmpty() is the exit
         frontier = next_frontier
     return stats

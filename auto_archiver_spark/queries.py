@@ -485,9 +485,14 @@ def q_minhash_lsh(spark, sf):
     production xxhash64 operator (operators/dedup.py minhash_dedup —
     pytest-exact in tests/test_sketches.py); the only wide exchange is the
     groupBy on the band key, O(n·bands) rows, never O(n²)."""
-    from .operators.dedup import pairs_expr  # noqa: PLC0415
-
     d = load(spark, sf, "documents")
+    pairs = _minhash_lsh_pairs(_minhash_banded(d))
+    return _minhash_verify(d, pairs.localCheckpoint())
+
+
+def _minhash_banded(d):
+    """Signature stage of q_minhash_lsh: hashed shingles -> 16 permutation
+    minima -> 8 band keys, exploded to (id, band, key) rows."""
 
     def perm(a, b):  # closure factory: the HOF lambda must stay unary
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)
@@ -504,17 +509,27 @@ def q_minhash_lsh(spark, sf):
             for b in range(8)
         ]
     )
-    banded = hashed.select("id", F.posexplode(bands).alias("band", "key"))
+    return hashed.select("id", F.posexplode(bands).alias("band", "key"))
+
+
+def _minhash_lsh_pairs(banded):
+    """Band-join stage: band-key equi-group -> all (a<b) pairs -> distinct.
+    Caller localCheckpoints the (tiny) result so the signature stage does
+    not re-run per verify join branch."""
+    from .operators.dedup import pairs_expr  # noqa: PLC0415
+
     grouped = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
-    pairs = (
+    return (
         grouped.filter(F.size("ids") > 1)
         .select(F.explode(pairs_expr(F.col("ids"))).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
-        .localCheckpoint()  # tiny; signature stage must not re-run per join branch
     )
-    # verify-only-candidates (same shape as operators/dedup.py ngram_jaccard):
-    # prune the corpus to ids in some pair BEFORE the shingle-set work
+
+
+def _minhash_verify(d, pairs):
+    """Verify stage: exact hashed-shingle-set Jaccard at threshold 0.5 over
+    the semi-join-pruned corpus (only ids appearing in some pair)."""
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))

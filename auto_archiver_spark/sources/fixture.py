@@ -250,3 +250,52 @@ def images_df(spark, n: int, partitions: int = 8):
         spark.range(0, n, numPartitions=partitions)
         .mapInPandas(gen, IMAGES_SCHEMA)
     )
+
+
+def fixture_link_expander(span: int, fanout: int = 2):
+    """Factory for ``CrawlConfig.link_expander``: each successfully archived
+    URL with embedded id ``i`` deterministically "contains" ``fanout``
+    outlinks whose ids map into a bounded space of ``span`` ids — the
+    batch-iterative frontier-growth driver for multi-wave benchmarks and
+    resume-at-scale tests (everything is a pure function of the parent id,
+    so a resumed run regrows the identical frontier).
+
+    Children reuse the bare ``/p/<id>`` URL shape, so some collide with
+    seed URLs and earlier children — the anti-join vs ``url_seen`` (not the
+    expander) is what keeps the crawl from re-fetching them, exactly the
+    property the multi-wave bench measures. Native expressions only: at a
+    48k-seed bench this runs as one narrow projection per wave."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    hosts_tail = F.array(*[F.lit(h) for h in HOSTS[1:]])
+
+    def expand(results):
+        ok = results.filter(F.col("status") == "success")
+        pid = F.regexp_extract("url_norm", r"/(?:p|gallery|private)/(\d+)", 1).cast("long")
+        kids = ok.select(
+            "sheet",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(pid * 2 + F.lit(1 + 7918 * j), F.lit(span))
+                        for j in range(fanout)
+                    ]
+                )
+            ).alias("cid"),
+        )
+        # host_for(i) as a native expression (same Zipf head)
+        host = F.when(F.pmod(F.col("cid"), 10) < 3, F.lit(HOSTS[0])).otherwise(
+            F.element_at(
+                hosts_tail,
+                (F.pmod(F.col("cid") * F.lit(2654435761), 7) + 1).cast("int"),
+            )
+        )
+        return kids.select(
+            "sheet",
+            (F.col("cid") + F.lit(10_000_000)).alias("row_idx"),
+            F.concat(F.lit("https://"), host, F.lit("/p/"), F.col("cid")).alias("url"),
+            F.lit("").alias("status"),
+            F.lit("").alias("folder"),
+        )
+
+    return expand

@@ -134,7 +134,13 @@ def main():
         per_query[name] = round(time_query(spark, sf_dir, name), 3)
     total = round(sum(per_query.values()), 3)
 
-    crawl = crawl_bench(spark, CRAWL_SEED_N)
+    # SPARK_GRAFT_SKIP_CRAWL=1: headline queries only (the sf-scaling ladder
+    # runs the same queries at a synthesized sf1 dir — tools/sf_scale.py —
+    # where the fixture-driven crawl section is not the thing measured)
+    if os.environ.get("SPARK_GRAFT_SKIP_CRAWL"):
+        crawl = {}
+    else:
+        crawl = crawl_bench(spark, CRAWL_SEED_N)
 
     out = {
         "metric": "headline_queries_total",
