@@ -47,6 +47,9 @@ def main():
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
+    # warmup: python workers, codegen, scan caches — otherwise the first
+    # stage timed eats the cold-start and the deltas go negative
+    noop(Q.QUERIES["minhash_lsh"](spark, sf))
     sig = best_of(lambda: noop(Q._minhash_banded(d)), reps)
     band = best_of(lambda: noop(Q._minhash_lsh_pairs(Q._minhash_banded(d))), reps)
     full = best_of(lambda: noop(Q.QUERIES["minhash_lsh"](spark, sf)), reps)
