@@ -124,3 +124,45 @@ def materialize_bytes(
     if not keep_refs:
         res = res.drop("blob_file", "blob_off", "blob_len")
     return res
+
+
+def vacuum_blobs(spark, io, tables=("images",), blob_dir: str = "blobs") -> dict:
+    """Delete sidecar blob files no live snapshot references — the
+    ``remove_orphan_files`` maintenance op of this layout. Orphans appear
+    when a torn wave is rolled back (its rows never commit but its
+    task-written blob files remain) or when an images snapshot is dropped.
+
+    The referenced-file set is one distinct over the skinny ``blob_file``
+    column (bounded by partitions x waves, never by row count); the
+    filesystem walk is driver-side over the blobs dir only. Returns
+    counts + bytes reclaimed."""
+    import os  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    live: set[str] = set()
+    for t in tables:
+        if not io.exists(t):
+            continue
+        df = io.read(spark, t)
+        if "blob_file" not in df.columns:
+            continue
+        live.update(
+            r[0]
+            for r in df.select("blob_file").filter(F.col("blob_file").isNotNull())
+            .distinct().collect()
+        )
+    root = os.path.join(io.root, blob_dir)
+    removed, freed, kept = 0, 0, 0
+    for dirpath, _dirs, files in os.walk(root):
+        for name in files:
+            p = os.path.join(dirpath, name)
+            rel = os.path.relpath(p, io.root)
+            # stale .tmp-* from dead task attempts are always orphans
+            if rel in live and ".tmp-" not in name:
+                kept += 1
+                continue
+            freed += os.path.getsize(p)
+            os.unlink(p)
+            removed += 1
+    return {"removed": removed, "kept": kept, "bytes_freed": freed}

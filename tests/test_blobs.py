@@ -91,3 +91,40 @@ def test_fetch_sidecar_staging_is_skinny(spark, tmp_path):
     assert len(mat) == len(ok)
     for r in mat:
         assert r.hash == "SHA-256:" + hashlib.sha256(bytes(r.bytes)).hexdigest()
+
+
+def test_vacuum_blobs_removes_orphans_keeps_referenced(spark, tmp_path):
+    """vacuum_blobs (the remove_orphan_files analog): blob files referenced
+    by the live images table survive; rolled-back-wave leftovers and stale
+    .tmp attempt files are reclaimed; materialization still works after."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark.plans.blobs import vacuum_blobs
+    from auto_archiver_spark.plans.tableio import TableIO, WaveCheckpoint
+    from auto_archiver_spark.plans.wave import CrawlConfig, run_crawl
+    from auto_archiver_spark.sources.fixture import frontier_seed_df, host_policy_df
+
+    root = str(tmp_path)
+    io, cp = TableIO(root), WaveCheckpoint(root)
+    run_crawl(
+        spark, io, cp, frontier_seed_df(spark, 80), host_policy_df(spark),
+        CrawlConfig(wave_seconds=3600.0, fetch_partitions=4, max_waves=1),
+    )
+    # plant orphans: a torn-wave file and a dead task attempt's tmp
+    orphan_dir = os.path.join(root, "blobs", "wave=9")
+    os.makedirs(orphan_dir)
+    with open(os.path.join(orphan_dir, "part-00000.bin"), "wb") as fh:
+        fh.write(b"torn wave leftovers")
+    tmp_attempt = os.path.join(root, "blobs", "wave=0", "part-00099.bin.tmp-dead")
+    with open(tmp_attempt, "wb") as fh:
+        fh.write(b"dead attempt")
+
+    res = vacuum_blobs(spark, io)
+    assert res["removed"] >= 2 and res["kept"] >= 1 and res["bytes_freed"] > 0
+    assert not os.path.exists(os.path.join(orphan_dir, "part-00000.bin"))
+    assert not os.path.exists(tmp_attempt)
+    # every surviving images row still materializes bit-exactly
+    mat = materialize_bytes(io.read(spark, "images"), root).collect()
+    assert mat and all(
+        "SHA-256:" + hashlib.sha256(bytes(r.bytes)).hexdigest() == r.sha256 for r in mat
+    )
