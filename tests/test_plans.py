@@ -253,3 +253,33 @@ def test_curation_kernels_stay_native(spark):
         plan = _plan(q(spark, SF), "simple")
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
         assert "Exchange" not in plan, q
+
+
+def test_decontaminate_broadcasts_dict_single_doc_shuffle(spark):
+    """q_decontaminate's scale shape: the benchmark shingle dictionary is
+    the BROADCAST side of the gram join (eval sets are tiny at any corpus
+    scale); the corpus side shuffles only on doc_id for the overlap count —
+    never on the exploded gram stream, and no Python eval anywhere."""
+    from auto_archiver_spark.queries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # exchanges: doc_id aggregations (partial/final pairs collapse to the
+    # same key) — the exploded gram column must not be a shuffle key
+    gram_exchanges = [
+        s for s in plan.split("Exchange hashpartitioning")[1:]
+        if s.split("\n")[0].lstrip("(").startswith("[g")
+    ]
+    assert not gram_exchanges, "gram column crossed a hash exchange"
+
+
+def test_pii_and_sampling_stay_native_no_exchange(spark):
+    """pii_scrub and stratified_sample are single narrow projections —
+    zero exchanges, zero Python."""
+    from auto_archiver_spark.queries import q_pii_scrub, q_stratified_sample
+
+    for q in (q_pii_scrub, q_stratified_sample):
+        plan = _plan(q(spark, SF), "simple")
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "Exchange" not in plan, q
