@@ -175,9 +175,19 @@ def anti_join_seen(frontier: DataFrame, url_seen: DataFrame, bloom=None) -> Data
 
 
 def politeness_admission(
-    frontier: DataFrame, host_policy: DataFrame, wave_seconds: float = 60.0
+    frontier: DataFrame,
+    host_policy: DataFrame,
+    wave_seconds: float = 60.0,
+    priority_cols: list[Column] | None = None,
 ) -> DataFrame:
     """O2 + J5: per-host token-bucket admission for one wave.
+
+    ``priority_cols`` makes this the per-host PRIORITY QUEUE the north rule
+    names: the host's budget goes to the highest-priority URLs first (e.g.
+    deferral age, crawl depth, a relevance score), each wave re-ranking the
+    live frontier — a distributed heap would serialize on the head, a
+    per-host ranked window is one shuffle. Default is crawl order O1, which
+    reference-parity (crawl-order equality vs the sequential loop) requires.
 
     Broadcast-joins the tiny ``host_policy`` dim (J5 — no shuffle on the big
     side), computes the per-host budget for the wave
@@ -215,7 +225,7 @@ def politeness_admission(
     # consume budget slots (they are dropped, not deferred)
     w = (
         Window.partitionBy("host")
-        .orderBy(*crawl_order_cols())
+        .orderBy(*(priority_cols or crawl_order_cols()))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

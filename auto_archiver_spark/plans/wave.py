@@ -84,6 +84,10 @@ class CrawlConfig:
     # expander. This is the batch-iterative crawl loop proper (the reference
     # archives fixed lists; a web-scale frontier grows itself).
     link_expander: object = None
+    # Optional per-host priority-queue ordering for admission (a list of
+    # Column sort keys, e.g. deferral age or crawl depth). None = crawl
+    # order O1 — required for reference crawl-order parity.
+    admission_priority: object = None
 
 
 @dataclass
@@ -174,7 +178,10 @@ def run_crawl(
         new_urls = anti_join_seen(cand, seen, bloom)
 
         # shuffle 2: admission window; one materialization feeds four consumers
-        adm = politeness_admission(new_urls, host_policy, config.wave_seconds).localCheckpoint()
+        adm = politeness_admission(
+            new_urls, host_policy, config.wave_seconds,
+            priority_cols=config.admission_priority,
+        ).localCheckpoint()
         adm_stats = adm.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("admitted").cast("long")).alias("admitted"),

@@ -161,3 +161,30 @@ def test_sanitize_chain_original_url_iff_changed(spark):
         ],
         key=key,
     )
+
+
+def test_admission_priority_queue_override(spark):
+    """priority_cols turns admission into the per-host priority queue: with
+    a reversed priority the budget goes to the LAST crawl-order URLs, the
+    admitted count per host is unchanged (budget math is order-independent),
+    and robots-blocked rows still never consume slots."""
+    fr = dedup_in_wave(_frontier(spark, 400))
+    pol = host_policy_df(spark)
+    default = politeness_admission(fr, pol, wave_seconds=10.0)
+    reversed_prio = politeness_admission(
+        fr, pol, wave_seconds=10.0,
+        priority_cols=[F.col("sheet").desc(), F.col("row_idx").desc()],
+    )
+    d_counts = {r.host: r.cnt for r in default.filter("admitted").groupBy("host")
+                .count().withColumnRenamed("count", "cnt").collect()}
+    r_counts = {r.host: r.cnt for r in reversed_prio.filter("admitted").groupBy("host")
+                .count().withColumnRenamed("count", "cnt").collect()}
+    assert d_counts == r_counts
+    # pick a budget-constrained host: the admitted SETS must differ (the
+    # queue is real, not cosmetic) while blocked rows stay excluded
+    host = "archive.example.io"
+    d_set = {r.row_idx for r in default.filter("admitted").filter(F.col("host") == host).collect()}
+    r_set = {r.row_idx for r in reversed_prio.filter("admitted").filter(F.col("host") == host).collect()}
+    assert d_set and r_set and d_set != r_set
+    assert min(d_set) < min(r_set)  # default admits earliest crawl order first
+    assert not reversed_prio.filter("admitted AND robots_blocked").count()
