@@ -2360,6 +2360,32 @@ def q_pii_scrub(spark, sf):
     )
 
 
+def q_cuckoo_seen(spark, sf):
+    """Cuckoo-filter URL-seen sidecar (operators/cuckoo.py — the deletable
+    alternative to the Bloom sidecar the north rule names): build from the
+    even event ids, EVICT the ids divisible by 10, probe the survivors.
+    The gate asserts the filter's hard guarantee — zero false negatives for
+    inserted-and-not-deleted keys — through the full distributed
+    build -> cogroup-merge-delete -> cogroup-probe path; deleting a key
+    must never disturb another key's membership. (False-positive behavior
+    is probabilistic by design and pytest-bounded instead.)"""
+    from .operators.cuckoo import CuckooSidecar  # noqa: PLC0415
+
+    ev = load(spark, sf, "events").select("event_id")
+    keys = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
+        "event_id", F.xxhash64(F.col("event_id").cast("string")).alias("url_hash")
+    )
+    side = CuckooSidecar.build(keys, n_buckets=8).remove_keys(
+        keys.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
+    )
+    survivors = keys.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0)
+    return (
+        side.might_contain_col(survivors)
+        .select("event_id", F.col("maybe_seen").cast("int").alias("seen"))
+        .filter(F.col("seen") == 1)
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic per-source stratified sampling for training-mix
     construction: each source gets a rate derived from its name (portable
@@ -2481,6 +2507,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "cuckoo_seen": q_cuckoo_seen,
 }
 
 _TRACKERS_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','fbclid','gclid')"
@@ -2535,6 +2562,13 @@ ORACLE = {
               '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
               '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
         FROM p
+    """,
+    "cuckoo_seen": """
+        -- the filter's hard guarantee: every inserted-and-not-evicted key
+        -- probes seen; a false negative or a delete that disturbed a
+        -- neighbor shows up as a missing row (row-count mismatch)
+        SELECT event_id, 1 AS seen FROM events
+        WHERE event_id % 2 = 0 AND event_id % 10 <> 0
     """,
     "stratified_sample": """
         SELECT doc_id, source, rate, roll FROM (
