@@ -513,15 +513,27 @@ def _minhash_banded(d):
 
 
 def _minhash_lsh_pairs(banded):
-    """Band-join stage: band-key equi-group -> all (a<b) pairs -> distinct.
-    Caller localCheckpoints the (tiny) result so the signature stage does
-    not re-run per verify join branch."""
-    from .operators.dedup import pairs_expr  # noqa: PLC0415
+    """Band-join stage: band-key equi-group -> candidate pairs -> distinct,
+    with the production operator's bucket cap (operators/dedup.py
+    DEFAULT_BUCKET_CAP): buckets over the cap emit O(m) star pairs instead
+    of O(m²) all-pairs. Without the cap the r6 sf-ladder caught this query
+    going 14.7x at 10x data — synthetic replica cliques pushed the largest
+    bucket 109 -> 1083 members and raw pairs 1.9M -> 191M. The DuckDB
+    oracle mirrors the cap exactly. Caller localCheckpoints the (tiny)
+    result so the signature stage does not re-run per verify join branch."""
+    from .operators.dedup import (  # noqa: PLC0415
+        DEFAULT_BUCKET_CAP,
+        pairs_expr,
+        star_pairs_expr,
+    )
 
     grouped = banded.groupBy("band", "key").agg(F.collect_list("id").alias("ids"))
+    capped = F.when(
+        F.size("ids") <= F.lit(DEFAULT_BUCKET_CAP), pairs_expr(F.col("ids"))
+    ).otherwise(star_pairs_expr(F.col("ids")))
     return (
         grouped.filter(F.size("ids") > 1)
-        .select(F.explode(pairs_expr(F.col("ids"))).alias("p"))
+        .select(F.explode(capped).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .distinct()
     )
@@ -3271,9 +3283,21 @@ ORACLE = {
                   FROM mins, unnest([{", ".join(
                       f"{{'band': {bnd}, 'key': m{2 * bnd}::VARCHAR || '_' || "
                       f"m{2 * bnd + 1}::VARCHAR}}" for bnd in range(8))}]) AS t(u)),
-        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        gsize AS (SELECT band, key, count(*) AS m, min(doc_id) AS rep
+                  FROM bands GROUP BY band, key),
+        -- bucket cap (= operators/dedup.py DEFAULT_BUCKET_CAP): all (a<b)
+        -- pairs for buckets <= 64 members, star pairs (min-id rep <-> each
+        -- member) above — mirrors the Spark side exactly
+        cand_small AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+                   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+                 JOIN gsize g ON g.band = a.band AND g.key = a.key AND g.m <= 64),
+        cand_star AS (SELECT g.rep AS id_a, b.doc_id AS id_b
+                 FROM gsize g JOIN bands b
+                   ON b.band = g.band AND b.key = g.key
+                  AND g.m > 64 AND b.doc_id > g.rep),
+        cand AS (SELECT DISTINCT id_a, id_b FROM
+                 (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star)),
         sets AS (SELECT doc_id, list_distinct(hs) AS sh FROM hm)
         SELECT c.id_a, c.id_b,
                len(list_intersect(x.sh, y.sh))::BIGINT AS inter,
