@@ -1680,11 +1680,13 @@ def q_embedding_near_dup(spark, sf):
     aug = emb.unionByName(planted)
     rows = emb.filter(F.col("vec_id").between(1, 12)).select("vec_id", "embedding").collect()
     planes = [list(r.embedding) for r in sorted(rows, key=lambda r: r.vec_id)]
-    # bucket_cap effectively off for the gate: the cross-engine oracle
-    # computes ALL bucket pairs; the production star-pair capping (the scale
-    # guard for degenerate buckets) is exact-value-tested in pytest
-    # (tests/test_similarity.py), like the MinHash path's cap
-    return embedding_near_dup_pairs(aug, planes, threshold=0.8, bucket_cap=1_000_000)
+    # production bucket cap ON and mirrored in the oracle (size-split join:
+    # all-pairs <= 64 members, min-id star pairs above). The r6 sf-ladder
+    # killed the uncapped variant outright at sf10 — 12-bit signatures give
+    # only 16 values per block, so block buckets grow O(n) and all-pairs
+    # grows O(n²): the gate must exercise the same guard the production
+    # operator ships with.
+    return embedding_near_dup_pairs(aug, planes, threshold=0.8)
 
 
 def q_robots_parse(spark, sf):
@@ -2942,9 +2944,21 @@ ORACLE = {
         banded AS (
           SELECT id, i AS block, ((s >> (4 * i)::INT) & 15)::BIGINT AS val
           FROM sig CROSS JOIN generate_series(0, 2) AS g(i)),
-        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        gsize AS (SELECT block, val, count(*) AS m, min(id) AS rep
+                  FROM banded GROUP BY block, val),
+        -- bucket cap (= embedding_near_dup_pairs default 64): all (a<b)
+        -- pairs for buckets <= 64 members, min-id star pairs above —
+        -- mirrors the Spark side exactly
+        cand_small AS (SELECT a.id AS id_a, b.id AS id_b
                  FROM banded a JOIN banded b
-                   ON a.block = b.block AND a.val = b.val AND a.id < b.id)
+                   ON a.block = b.block AND a.val = b.val AND a.id < b.id
+                 JOIN gsize g ON g.block = a.block AND g.val = a.val AND g.m <= 64),
+        cand_star AS (SELECT g.rep AS id_a, b.id AS id_b
+                 FROM gsize g JOIN banded b
+                   ON b.block = g.block AND b.val = g.val
+                  AND g.m > 64 AND b.id > g.rep),
+        cand AS (SELECT DISTINCT id_a, id_b FROM
+                 (SELECT * FROM cand_small UNION ALL SELECT * FROM cand_star))
         SELECT c.id_a, c.id_b,
                round(list_cosine_similarity(x.v, y.v), 5) AS cos
         FROM cand c
