@@ -130,7 +130,11 @@ def _delete_all(table: np.ndarray, h: np.ndarray) -> int:
 
 
 def _group_hashes(pdf: pd.DataFrame, hash_col: str) -> np.ndarray:
-    return pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
+    # SORTED: applyInPandas group row order depends on shuffle arrival, so
+    # an order-sensitive insert/kick sequence would make the persisted table
+    # bytes run-dependent — sorting makes build/merge/delete deterministic
+    # (resume fingerprints compare whole state tables byte-for-byte)
+    return np.sort(pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64))
 
 
 def build_sidecar(
@@ -159,14 +163,16 @@ def build_sidecar(
 
 
 def _apply_keys(sidecar: DataFrame, keys: DataFrame, n_buckets: int,
-                hash_col: str, op) -> DataFrame:
+                hash_col: str, op, nb_log2: int = DEFAULT_NB_LOG2) -> DataFrame:
     """Cogroup the persisted sidecar with a key delta and apply
     insert/delete executor-side; buckets with no delta pass through."""
 
     def merge(key: tuple, side: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
         if side.empty:
-            # new bucket appearing in the delta: fresh table (insert only)
-            nb = 1 << DEFAULT_NB_LOG2
+            # new bucket appearing in the delta: fresh table sized like the
+            # handle's sidecar (ADVICE r6: the module default here gave a
+            # mixed-size sidecar when built with a non-default nb_log2)
+            nb = 1 << nb_log2
             table = np.zeros((nb, SLOTS), dtype=np.uint16)
             n = 0
         else:
@@ -204,20 +210,26 @@ class CuckooSidecar:
 
     n_buckets: int
     sidecar: DataFrame
+    # inner-table size exponent this sidecar was built with — carried so
+    # merge-time fresh buckets match (ADVICE r6)
+    nb_log2: int = DEFAULT_NB_LOG2
 
     @classmethod
     def build(cls, url_seen: DataFrame, n_buckets: int,
               nb_log2: int = DEFAULT_NB_LOG2):
-        return cls(n_buckets, build_sidecar(url_seen, n_buckets, nb_log2))
+        return cls(n_buckets, build_sidecar(url_seen, n_buckets, nb_log2), nb_log2)
 
     @classmethod
-    def from_table(cls, sidecar_df: DataFrame, n_buckets: int):
-        return cls(n_buckets, sidecar_df)
+    def from_table(cls, sidecar_df: DataFrame, n_buckets: int,
+                   nb_log2: int = DEFAULT_NB_LOG2):
+        return cls(n_buckets, sidecar_df, nb_log2)
 
     def insert_keys(self, keys: DataFrame, hash_col: str = "url_hash"):
         return CuckooSidecar(
             self.n_buckets,
-            _apply_keys(self.sidecar, keys, self.n_buckets, hash_col, "insert"),
+            _apply_keys(self.sidecar, keys, self.n_buckets, hash_col, "insert",
+                        self.nb_log2),
+            self.nb_log2,
         )
 
     def remove_keys(self, keys: DataFrame, hash_col: str = "url_hash"):
@@ -225,7 +237,9 @@ class CuckooSidecar:
         probe is provably-new again, modulo the shared-fingerprint FP rate."""
         return CuckooSidecar(
             self.n_buckets,
-            _apply_keys(self.sidecar, keys, self.n_buckets, hash_col, "delete"),
+            _apply_keys(self.sidecar, keys, self.n_buckets, hash_col, "delete",
+                        self.nb_log2),
+            self.nb_log2,
         )
 
     def might_contain_col(self, df: DataFrame, hash_col: str = "url_hash") -> DataFrame:

@@ -75,6 +75,22 @@ def _fetch_batches(
         from ..plans.blobs import BlobWriter  # noqa: PLC0415
 
         writer = BlobWriter(blob_root, blob_dir, TaskContext.get().partitionId())
+    # finally (not loop-end): a consumer that stops the iterator early —
+    # .limit()/.take() on a blob-mode plan — raises GeneratorExit here, and
+    # the sidecar must still be renamed into place or every emitted row's
+    # blob_file would point at a .tmp that never lands (ADVICE r6). Rows are
+    # only emitted after their payload is appended, so a partial file is
+    # complete for every reference that escaped.
+    try:
+        yield from _fetch_loop(batches, host_elapsed, writer)
+    finally:
+        if writer is not None:
+            writer.close()
+
+
+def _fetch_loop(
+    batches: Iterator[pd.DataFrame], host_elapsed: dict, writer
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         n = len(pdf)
         # base columns + politeness accounting are pure pandas column ops
@@ -137,8 +153,6 @@ def _fetch_batches(
             out[name] = pd.Series(vals, index=pdf.index, dtype="object")
         out["politeness_ms"] = politeness
         yield out[_OUT_COLS]
-    if writer is not None:
-        writer.close()
 
 
 def fetch_archive(

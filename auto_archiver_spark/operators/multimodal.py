@@ -41,7 +41,8 @@ FRAME_SCHEMA = (
     "frame_png binary, phash long, sum_luma long, err string"
 )
 AUDIO_FEATURE_SCHEMA = (
-    "media_id string, n_windows int, rms array<float>, zero_cross array<float>"
+    "media_id string, n_windows int, rms array<float>, zero_cross array<float>, "
+    "sum_sq array<long>, n_zc array<int>, err string"
 )
 
 # ---------------------------------------------------------------------------
@@ -216,26 +217,106 @@ def _decode_audio_stub(data: bytes, n_windows: int) -> np.ndarray:
     return rng.standard_normal((n_windows, 256)).astype(np.float32)
 
 
-def extract_audio_features(audio: DataFrame, n_windows: int = 8) -> DataFrame:
-    """Windowed RMS + zero-crossing-rate per clip (cheap, deterministic
-    features over the fake PCM; a real decoder slots into the stub)."""
+# SFA1 synthetic audio container: real write + real parse (the audio twin of
+# SFV1 above — a real decoder slots in where sfa_parse sits). Layout:
+# magic "SFA1", uint32 n_samples, then n_samples int8 PCM samples. Window
+# size is fixed at 256 samples so features are oracle-checkable per window.
+SFA_MAGIC = b"SFA1"
+_SFA_HDR = struct.Struct("<4sI")
+SFA_WINDOW = 256
+
+
+class SfaError(Exception):
+    def __init__(self, category: str):
+        super().__init__(category)
+        self.category = category
+
+
+def sfa_encode(samples: np.ndarray) -> bytes:
+    """Write an SFA1 container from int8 PCM samples."""
+    s = np.asarray(samples, dtype=np.int8)
+    return _SFA_HDR.pack(SFA_MAGIC, len(s)) + s.tobytes()
+
+
+def sfa_parse(data: bytes | None) -> np.ndarray:
+    """Parse an SFA1 container into (n_windows, 256) int8 PCM windows.
+    Raises SfaError('empty'|'bad_magic'|'truncated'|'corrupt') — bad media
+    must never kill the job (same contract as sfv_parse)."""
+    if data is None or len(data) == 0:
+        raise SfaError("empty")
+    if len(data) < _SFA_HDR.size or data[:4] != SFA_MAGIC:
+        raise SfaError("bad_magic")
+    (_, n_samples) = _SFA_HDR.unpack_from(data)
+    if len(data) < _SFA_HDR.size + n_samples:
+        raise SfaError("truncated")
+    if n_samples == 0 or n_samples % SFA_WINDOW != 0:
+        raise SfaError("corrupt")
+    pcm = np.frombuffer(data, dtype=np.int8, count=n_samples, offset=_SFA_HDR.size)
+    return pcm.reshape(-1, SFA_WINDOW)
+
+
+def extract_audio_features(
+    audio: DataFrame, n_windows: int = 8, container: str = "auto"
+) -> DataFrame:
+    """Windowed RMS + zero-crossing-rate per clip, plus the integer-exact
+    twins (sum of squared samples, zero-crossing count) that make the
+    operator oracle-checkable without a float crossing the engine boundary.
+
+    SFA1 payloads get a REAL decode (sfa_parse: magic check, length check,
+    window reshape — window count comes from the container); any other
+    payload falls back to the deterministic stub PCM (audio codecs are
+    absent from this container, declared at _decode_audio_stub), where the
+    integer features are null (stub samples are floats). Malformed SFA1
+    yields one error row with the parse category — bad media must never
+    kill a 100 TB job. ``container="sfa"`` disables the stub fallback so
+    non-SFA bytes are judged (and categorized) by the parser instead of
+    silently stubbed — the gate-query mode."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "n_windows", "rms", "zero_cross", "sum_sq", "n_zc", "err"]
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                pcm = _decode_audio_stub(bytes(row.bytes), n_windows)
-                rms = np.sqrt((pcm**2).mean(axis=1))
+                data = bytes(row.bytes) if row.bytes is not None else b""
+                sum_sq = n_zc = None
+                if container == "sfa" or data[:4] == SFA_MAGIC or not data:
+                    try:
+                        pcm = sfa_parse(data)
+                    except SfaError as e:
+                        out.append(
+                            {
+                                "media_id": row.media_id, "n_windows": None,
+                                "rms": None, "zero_cross": None,
+                                "sum_sq": None, "n_zc": None, "err": e.category,
+                            }
+                        )
+                        continue
+                    wide = pcm.astype(np.int64)
+                    sum_sq = [int(x) for x in (wide * wide).sum(axis=1)]
+                    n_zc = [
+                        int(x)
+                        for x in (np.diff(np.signbit(pcm), axis=1) != 0).sum(axis=1)
+                    ]
+                else:
+                    pcm = _decode_audio_stub(data, n_windows)
+                rms = np.sqrt((pcm.astype(np.float64) ** 2).mean(axis=1))
                 zc = (np.diff(np.signbit(pcm), axis=1) != 0).mean(axis=1)
                 out.append(
                     {
                         "media_id": row.media_id,
-                        "n_windows": n_windows,
+                        "n_windows": pcm.shape[0],
                         "rms": [float(x) for x in rms],
                         "zero_cross": [float(x) for x in zc],
+                        "sum_sq": sum_sq,
+                        "n_zc": n_zc,
+                        "err": None,
                     }
                 )
-            yield pd.DataFrame.from_records(out)
+            yield (
+                pd.DataFrame.from_records(out, columns=cols)
+                if out
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
 
     return audio.mapInPandas(gen, AUDIO_FEATURE_SCHEMA)
 
@@ -267,6 +348,19 @@ def synthetic_sfv_payload(media_seed: int) -> bytes:
         for k in range(n_key)
     ]
     return sfv_encode(SFV_W, SFV_H, duration_ms, planes)
+
+
+def synthetic_sfa_payload(media_seed: int, n_win: int | None = None) -> bytes:
+    """A valid SFA1 container for ``media_seed``: 2..4 windows of 256 int8
+    PCM samples with the closed-form signal
+    ``x(t) = ((seed*31 + 5*t*t + 11*t) % 256) - 128`` over the GLOBAL sample
+    index t — the formula a SQL oracle evaluates sample-by-sample to verify
+    the container round-trip and the windowed features exactly."""
+    if n_win is None:
+        n_win = 2 + media_seed % 3
+    t = np.arange(n_win * SFA_WINDOW, dtype=np.int64)
+    x = (media_seed * 31 + 5 * t * t + 11 * t) % 256 - 128
+    return sfa_encode(x.astype(np.int8))
 
 
 def synthetic_videos_df(spark, n: int, partitions: int = 4) -> DataFrame:

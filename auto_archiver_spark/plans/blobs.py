@@ -77,12 +77,17 @@ def materialize_bytes(
     """Re-attach payload bytes from the sidecar: rows with a non-null
     ``blob_file`` get ``out_col`` read from ``root/blob_file[off:off+len]``;
     rows with a null ref keep their existing ``out_col`` (inline mode).
+    A table written before the sidecar existed (no ``blob_file`` column at
+    all — e.g. an images snapshot from an old root) passes through
+    unchanged: its payloads are already inline (ADVICE r6 compat note).
 
     Distributed and batch-grouped: each Arrow batch sorts by (file, offset)
     so a partition's reads against one sidecar file are sequential, then
     restores row order. Only the consumers that genuinely need pixels
     (fidelity tests, export) pay this — every analytic consumer stays on
     the skinny reference columns."""
+    if "blob_file" not in df.columns:
+        return df
     has_inline = out_col in df.columns
     cols = list(df.columns)
     out_cols = cols if has_inline else [*cols, out_col]
@@ -126,7 +131,10 @@ def materialize_bytes(
     return res
 
 
-def vacuum_blobs(spark, io, tables=("images",), blob_dir: str = "blobs") -> dict:
+def vacuum_blobs(
+    spark, io, tables=("images",), blob_dir: str = "blobs",
+    tmp_grace_sec: float = 600.0,
+) -> dict:
     """Delete sidecar blob files no live snapshot references — the
     ``remove_orphan_files`` maintenance op of this layout. Orphans appear
     when a torn wave is rolled back (its rows never commit but its
@@ -152,14 +160,24 @@ def vacuum_blobs(spark, io, tables=("images",), blob_dir: str = "blobs") -> dict
             for r in df.select("blob_file").filter(F.col("blob_file").isNotNull())
             .distinct().collect()
         )
+    import time  # noqa: PLC0415
+
     root = os.path.join(io.root, blob_dir)
     removed, freed, kept = 0, 0, 0
+    now = time.time()
     for dirpath, _dirs, files in os.walk(root):
         for name in files:
             p = os.path.join(dirpath, name)
             rel = os.path.relpath(p, io.root)
-            # stale .tmp-* from dead task attempts are always orphans
-            if rel in live and ".tmp-" not in name:
+            # stale .tmp-* from dead task attempts are orphans — but a
+            # YOUNG .tmp may be a live task of a concurrently running wave
+            # (ADVICE r6: deleting it fails that task's os.replace), so only
+            # reclaim .tmp files older than the grace period
+            if ".tmp-" in name:
+                if now - os.path.getmtime(p) < tmp_grace_sec:
+                    kept += 1
+                    continue
+            elif rel in live:
                 kept += 1
                 continue
             freed += os.path.getsize(p)

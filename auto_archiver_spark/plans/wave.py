@@ -43,6 +43,22 @@ from ..operators.writeback import init_seed_state, wave_writeback
 URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
 FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
 
+_CLK_TCK = 100.0  # USER_HZ: jiffies per second for /proc/stat fields
+
+
+def _cpu_snap() -> tuple[float, float] | None:
+    """(machine busy cpu-seconds, steal-seconds) from the aggregate
+    /proc/stat line; None where /proc is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        v = [int(x) for x in parts[1:]]
+        idle = v[3] + (v[4] if len(v) > 4 else 0)
+        steal = v[7] if len(v) > 7 else 0
+        return (sum(v) - idle - steal) / _CLK_TCK, steal / _CLK_TCK
+    except OSError:  # pragma: no cover
+        return None
+
 @dataclass
 class CrawlConfig:
     wave_seconds: float = 60.0
@@ -146,12 +162,24 @@ def run_crawl(
             break
 
         marks = {}
-        _last = [time.monotonic()]
+        _last = [time.monotonic(), _cpu_snap()]
 
         def mark(name):
-            now = time.monotonic()
+            # wall AND machine-busy CPU per stage: the r6 bench regression
+            # (commit stages 4x with fetch flat) was plausibly the host
+            # governor but unproven — wall >> cpu in a segment is a stall /
+            # throttle window, proportional cpu is a real code regression
+            # (r6 VERDICT "What's wrong" #1). `<name>_cpu` is whole-machine
+            # busy cpu-seconds during the segment (local mode: this machine
+            # IS the cluster); `<name>_steal` is hypervisor-stolen time.
+            now, snap = time.monotonic(), _cpu_snap()
             marks[name] = round(now - _last[0], 3)
-            _last[0] = now
+            if snap is not None and _last[1] is not None:
+                busy0, steal0 = _last[1]
+                marks[name + "_cpu"] = round(snap[0] - busy0, 2)
+                if snap[1] - steal0 > 0.005:
+                    marks[name + "_steal"] = round(snap[1] - steal0, 2)
+            _last[0], _last[1] = now, snap
 
         # shuffle 1: in-wave dedup; checkpointed so the anti-join, admission
         # and stats all reuse one materialization

@@ -486,22 +486,26 @@ def q_minhash_lsh(spark, sf):
     pytest-exact in tests/test_sketches.py); the only wide exchange is the
     groupBy on the band key, O(n·bands) rows, never O(n²)."""
     d = load(spark, sf, "documents")
-    pairs = _minhash_lsh_pairs(_minhash_banded(d))
-    return _minhash_verify(d, pairs.localCheckpoint())
+    # hash the corpus' shingles ONCE and share the materialized (id, hs)
+    # projection between the signature stage and the verify stage — the r6
+    # stage breakdown (tools/minhash_stages.py) attributed ~39% of the query
+    # to verify, most of it re-hashing the pruned corpus from raw text
+    # (r6 VERDICT #4)
+    hashed = _shingle_hash_df(d, "id").localCheckpoint()
+    pairs = _minhash_lsh_pairs(_minhash_banded(hashed))
+    return _minhash_verify(hashed, pairs.localCheckpoint())
 
 
-def _minhash_banded(d):
-    """Signature stage of q_minhash_lsh: hashed shingles -> 16 permutation
+def _minhash_banded(hashed):
+    """Signature stage of q_minhash_lsh: hashed shingles (the materialized
+    (id, hs) projection from _shingle_hash_df — materialized ONCE: inlining
+    it into each of the 16 array_min exprs makes Spark hash every shingle
+    16x; measured 17x wall on this query at sf0.1) -> 16 permutation
     minima -> 8 band keys, exploded to (id, band, key) rows."""
 
     def perm(a, b):  # closure factory: the HOF lambda must stay unary
         return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)
 
-    # materialize the hash array ONCE in its own projection: inlining it
-    # into each of the 16 array_min exprs makes Spark hash every shingle 16x
-    # (CollapseProject keeps the alias because it is referenced many times;
-    # measured 17x wall on this query at sf0.1)
-    hashed = _shingle_hash_df(d, "id")
     mins = [F.array_min(F.transform(F.col("hs"), perm(a, b))) for a, b in _MH_PERMS]
     bands = F.array(
         *[
@@ -539,17 +543,19 @@ def _minhash_lsh_pairs(banded):
     )
 
 
-def _minhash_verify(d, pairs):
+def _minhash_verify(hashed, pairs):
     """Verify stage: exact hashed-shingle-set Jaccard at threshold 0.5 over
-    the semi-join-pruned corpus (only ids appearing in some pair)."""
+    the semi-join-pruned corpus (only ids appearing in some pair). Takes
+    the signature stage's already-materialized (id, hs) shingle-hash
+    projection — no re-hashing of the pruned corpus (r6 VERDICT #4)."""
     ids = (
         pairs.select(F.col("id_a").alias("id"))
         .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sets = _shingle_hash_df(
-        d.join(F.broadcast(ids), d["doc_id"] == ids["id"], "left_semi"), "id"
-    ).select("id", F.array_distinct("hs").alias("sh"))
+    sets = hashed.join(F.broadcast(ids), "id", "left_semi").select(
+        "id", F.array_distinct("hs").alias("sh")
+    )
     a = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -1654,6 +1660,58 @@ def q_frames_extract(spark, sf):
     )
 
 
+def q_audio_features(spark, sf):
+    """Audio feature extraction over the REAL SFA1 container decode
+    (operators/multimodal.py extract_audio_features — the audio leg of the
+    multimodal tier, pytest-only since r4; r6 VERDICT #5 asked for this
+    oracle). Synthesize-then-parse like frames_extract: per doc a genuine
+    SFA1 payload is written (header + closed-form int8 PCM, 2..4 windows of
+    256 samples), mutated by doc_id%4 into valid / truncated / bad-magic
+    shapes, then judged by the operator — magic check, length check, window
+    reshape, per-window integer features (sum of squared samples,
+    zero-crossing count: exact, no float crosses the engine boundary). The
+    oracle recomputes both features straight from the generating formula
+    x(t) = ((seed*31 + 5*t*t + 11*t) % 256) - 128, so a wrong byte anywhere
+    in the container round-trip or windowing breaks the hash."""
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+
+    from .operators.multimodal import (  # noqa: PLC0415
+        extract_audio_features,
+        synthetic_sfa_payload,
+    )
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw in pdf["doc_id"]:
+                did = int(raw)
+                b = synthetic_sfa_payload(did)
+                if did % 4 == 2:
+                    b = b[: len(b) // 2]  # truncated container
+                elif did % 4 == 3:
+                    b = b"XXXX" + b[4:]  # bad magic
+                rows.append({"media_id": str(did), "bytes": b})
+            yield pd.DataFrame.from_records(rows, columns=["media_id", "bytes"])
+
+    payloads = load(spark, sf, "documents").select("doc_id").mapInPandas(
+        make, "media_id string, bytes binary"
+    )
+    feats = extract_audio_features(payloads, container="sfa")
+    return feats.select(
+        "media_id",
+        F.posexplode_outer(F.arrays_zip("sum_sq", "n_zc")).alias("window_idx", "z"),
+        "err",
+    ).select(
+        "media_id",
+        F.col("window_idx").cast("int").alias("window_idx"),
+        F.col("z.sum_sq").alias("sum_sq"),
+        F.col("z.n_zc").alias("n_zc"),
+        "err",
+    )
+
+
 def q_embedding_near_dup(spark, sf):
     """End-to-end embedding near-dup pipeline (training-data tier):
     random-hyperplane signature -> 3x4-bit pigeonhole block buckets ->
@@ -2383,13 +2441,20 @@ def q_cuckoo_seen(spark, sf):
     build -> cogroup-merge-delete -> cogroup-probe path; deleting a key
     must never disturb another key's membership. (False-positive behavior
     is probabilistic by design and pytest-bounded instead.)"""
-    from .operators.cuckoo import CuckooSidecar  # noqa: PLC0415
+    import math  # noqa: PLC0415
+
+    from .operators.cuckoo import DEFAULT_NB_LOG2, SLOTS, CuckooSidecar  # noqa: PLC0415
 
     ev = load(spark, sf, "events").select("event_id")
     keys = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
         "event_id", F.xxhash64(F.col("event_id").cast("string")).alias("url_hash")
     )
-    side = CuckooSidecar.build(keys, n_buckets=8).remove_keys(
+    # size the outer bucket count to ~50% load per inner table so the gate
+    # query survives any sf scale-up (ADVICE r6: a hardcoded 8 overflowed at
+    # 10x events — the same super-linear trap the sf ladder caught elsewhere)
+    n_keys = keys.count()
+    n_buckets = max(8, math.ceil(n_keys / (SLOTS * (1 << DEFAULT_NB_LOG2) * 0.5)))
+    side = CuckooSidecar.build(keys, n_buckets=n_buckets).remove_keys(
         keys.filter(F.pmod(F.col("event_id"), F.lit(10)) == 0)
     )
     survivors = keys.filter(F.pmod(F.col("event_id"), F.lit(10)) != 0)
@@ -2419,70 +2484,19 @@ def q_stratified_sample(spark, sf):
 
 
 QUERIES = {
-    # r6 gate window = first 50 (the driver runs QUERIES[0:50]).
-    # (a) the 32 entries parked in r5 (green r3+r4 or r2+r4 on code
-    # unchanged since) — rotated back in per the r5 verdict so every entry
-    # keeps a green within 2 rounds
-    "extractor_routing": q_extractor_routing,
-    "keys_to_clean": q_keys_to_clean,
-    "is_empty": q_is_empty,
-    "html_render": q_html_render,
-    "content_append": q_content_append,
-    "atlos_feed": q_atlos_feed,
-    "livestream_skip": q_livestream_skip,
-    "phash_pairs": q_phash_pairs,
-    "dedup_components": q_dedup_components,
-    "deletion_detect": q_deletion_detect,
-    "writeback_merge": q_writeback_merge,
-    "json_dump": q_json_dump,
-    "most_complete": q_most_complete,
-    "merge_status": q_merge_status,
-    "metadata_merge": q_metadata_merge,
-    "top_variant": q_top_variant,
-    "media_totals": q_media_totals,
-    "cosine_topk": q_cosine_topk,
-    "simhash_portable": q_simhash_portable,
-    "minhash_signature": q_minhash_signature,
-    "telegram_parse": q_telegram_parse,
-    "bluesky_embeds": q_bluesky_embeds,
-    "twitter_parse": q_twitter_parse,
-    "media_explode": q_media_explode,
-    "playlist_limit": q_playlist_limit,
-    "sanitize_chain": q_sanitize_chain,
-    "instagram_media": q_instagram_media,
-    "antibot_sanitize": q_antibot_sanitize,
-    "embedding_lsh": q_embedding_lsh,
-    "wayback_status": q_wayback_status,
-    "atlos_payload": q_atlos_payload,
-    "atlos_upload_dedup": q_atlos_upload_dedup,
-    # (b) kernels CHANGED this round (sfv_parse keyframe invariants, OTS
-    # iterative walk, Gopher word cap) — must be driver-verified on the
-    # new code
-    "frames_extract": q_frames_extract,
-    "ots_roundtrip": q_ots_roundtrip,
-    "gopher_repetition": q_gopher_repetition,
-    # (c) first driver-verified in r5 — second consecutive green for the
-    # most complex new kernels (ASN.1/TSQ, robots RFC 9309, WACZ manifest,
-    # yt-dlp info-dict mapping)
-    "robots_parse": q_robots_parse,
-    "ssl_cert_parse": q_ssl_cert_parse,
-    "timestamp_req": q_timestamp_req,
-    "timestamp_resp": q_timestamp_resp,
-    "ytdlp_metadata": q_ytdlp_metadata,
-    "wacz_verify": q_wacz_verify,
-    # (d) core frontier/dedup operators kept in-window every round
-    "frontier_admission": q_frontier_admission,
-    "frontier_anti_join": q_frontier_anti_join,
-    "url_canonicalize": q_url_canonicalize,
-    "url_relevance": q_url_relevance,
-    "url_best_quality": q_url_best_quality,
-    "dedup_first_per_key": q_dedup_first_per_key,
-    "pricing_summary": q_pricing_summary,
-    "dedup_exact_text": q_dedup_exact_text,
-    "ngram_jaccard": q_ngram_jaccard,
-    # ---- entries 51+: rotated out of the gate window this round (all
-    # green in r5, code unchanged; pytest + oracle SQL retained; back in
-    # the r7 window) ----
+    # r7 gate window = first 50 (the driver runs QUERIES[0:50]).
+    # (a) the four r6-new operators — implemented+replica-verified in r6
+    # but never driver-gated (r6 VERDICT "Next round" #1) — slots 1-4
+    "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
+    "cuckoo_seen": q_cuckoo_seen,
+    # (b) new this round: the audio-features operator gets its first oracle
+    # (r6 VERDICT #5 — synthesize-then-parse over the SFA1 container)
+    "audio_features": q_audio_features,
+    # (c) the 32 entries parked out of the r6 window (all green in r5 on
+    # code unchanged since; pytest + oracle SQL retained) — rotated back in
+    # so every entry keeps a driver green within 2 rounds
     "thumbnail_plan": q_thumbnail_plan,
     "embedding_neighbors": q_embedding_neighbors,
     "coalesce_merge": q_coalesce_merge,
@@ -2513,16 +2527,69 @@ QUERIES = {
     "ivf_topk": q_ivf_topk,
     "commit_csv": q_commit_csv,
     "wacz_pages": q_wacz_pages,
+    # minhash_lsh changed this round (verify stage reuses the signature
+    # stage's materialized shingle-hash projection — r6 VERDICT #4) so it
+    # must be driver-verified on the new code
     "minhash_lsh": q_minhash_lsh,
     "simhash_buckets": q_simhash_buckets,
-    # (new this round, appended past the 50-entry driver window so the 32
-    # parked entries keep their promised slots; locally oracle-verified,
-    # rotated into the r7 window)
-    "decontaminate": q_decontaminate,
-    "pii_scrub": q_pii_scrub,
-    "stratified_sample": q_stratified_sample,
-    "cuckoo_seen": q_cuckoo_seen,
+    # (d) core frontier/dedup operators kept in-window every round
+    "frontier_admission": q_frontier_admission,
+    "frontier_anti_join": q_frontier_anti_join,
+    "url_canonicalize": q_url_canonicalize,
+    "url_relevance": q_url_relevance,
+    "url_best_quality": q_url_best_quality,
+    "dedup_first_per_key": q_dedup_first_per_key,
+    "pricing_summary": q_pricing_summary,
+    "dedup_exact_text": q_dedup_exact_text,
+    "ngram_jaccard": q_ngram_jaccard,
+    # (e) most complex kernels from the r6 window kept for a second
+    # consecutive driver green
+    "embedding_lsh": q_embedding_lsh,
+    "dedup_components": q_dedup_components,
+    "phash_pairs": q_phash_pairs,
+    "writeback_merge": q_writeback_merge,
+    # ---- entries 51+: rotated out of the gate window this round (all
+    # green in the r6 driver window, code unchanged; pytest + oracle SQL
+    # retained; back in the r8 window) ----
+    "extractor_routing": q_extractor_routing,
+    "keys_to_clean": q_keys_to_clean,
+    "is_empty": q_is_empty,
+    "html_render": q_html_render,
+    "content_append": q_content_append,
+    "atlos_feed": q_atlos_feed,
+    "livestream_skip": q_livestream_skip,
+    "deletion_detect": q_deletion_detect,
+    "json_dump": q_json_dump,
+    "most_complete": q_most_complete,
+    "merge_status": q_merge_status,
+    "metadata_merge": q_metadata_merge,
+    "top_variant": q_top_variant,
+    "media_totals": q_media_totals,
+    "cosine_topk": q_cosine_topk,
+    "simhash_portable": q_simhash_portable,
+    "minhash_signature": q_minhash_signature,
+    "telegram_parse": q_telegram_parse,
+    "bluesky_embeds": q_bluesky_embeds,
+    "twitter_parse": q_twitter_parse,
+    "media_explode": q_media_explode,
+    "playlist_limit": q_playlist_limit,
+    "sanitize_chain": q_sanitize_chain,
+    "instagram_media": q_instagram_media,
+    "antibot_sanitize": q_antibot_sanitize,
+    "wayback_status": q_wayback_status,
+    "atlos_payload": q_atlos_payload,
+    "atlos_upload_dedup": q_atlos_upload_dedup,
+    "frames_extract": q_frames_extract,
+    "ots_roundtrip": q_ots_roundtrip,
+    "gopher_repetition": q_gopher_repetition,
+    "robots_parse": q_robots_parse,
+    "ssl_cert_parse": q_ssl_cert_parse,
+    "timestamp_req": q_timestamp_req,
+    "timestamp_resp": q_timestamp_resp,
+    "ytdlp_metadata": q_ytdlp_metadata,
+    "wacz_verify": q_wacz_verify,
 }
+
 
 _TRACKERS_SQL = "('utm_source','utm_medium','utm_campaign','utm_term','utm_content','fbclid','gclid')"
 
@@ -2925,6 +2992,32 @@ ORACLE = {
                NULL::BIGINT,
                CASE WHEN shape = 3 THEN 'truncated' ELSE 'bad_magic' END
         FROM p WHERE shape IN (3, 4)
+    """,
+    "audio_features": """
+        WITH p AS (
+          SELECT doc_id, doc_id % 4 AS shape, (2 + doc_id % 3)::BIGINT AS n_win
+          FROM documents),
+        w AS (
+          SELECT doc_id, g.wi AS window_idx
+          FROM p CROSS JOIN generate_series(0, 3) AS g(wi)
+          WHERE shape IN (0, 1) AND g.wi < n_win),
+        s AS (
+          SELECT doc_id, window_idx,
+            list_transform(
+              generate_series(window_idx * 256, window_idx * 256 + 255),
+              t -> (doc_id * 31 + 5 * t * t + 11 * t) % 256 - 128) AS xs
+          FROM w)
+        SELECT doc_id::VARCHAR AS media_id, window_idx::INT AS window_idx,
+          list_sum(list_transform(xs, x -> x * x))::BIGINT AS sum_sq,
+          list_sum(list_transform(generate_series(1, 255), i ->
+            CASE WHEN (xs[i] < 0) <> (xs[i + 1] < 0) THEN 1 ELSE 0 END
+          ))::INT AS n_zc,
+          NULL::VARCHAR AS err
+        FROM s
+        UNION ALL
+        SELECT doc_id::VARCHAR, NULL::INT, NULL::BIGINT, NULL::INT,
+          CASE WHEN shape = 2 THEN 'truncated' ELSE 'bad_magic' END
+        FROM p WHERE shape IN (2, 3)
     """,
     "embedding_near_dup": """
         WITH aug AS (

@@ -49,13 +49,32 @@ HEADLINE = [
 CRAWL_SEED_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEED_N", "12000"))
 
 
+# clean-window bests at sf0.1/local[32] (r5/r6 BENCH history + this round's
+# builder runs) — the yardstick for the conditional extra rep below
+BEST_KNOWN = {
+    "frontier_admission": 0.83, "frontier_anti_join": 0.72,
+    "url_canonicalize": 1.19, "url_best_quality": 0.70,
+    "dedup_first_per_key": 1.30, "pricing_summary": 1.39,
+    "dedup_exact_text": 0.48, "ngram_jaccard": 1.64,
+    "cosine_topk": 0.53, "minhash_lsh": 2.69,
+}
+BEST_KNOWN_CRAWL_UPS = 507.0  # r6 clean full-wave window (BENCH.md)
+
+
 def time_query(spark, sf_dir: str, name: str, reps: int = 2) -> float:
     """Best-of-``reps``: the host CPU oscillates 3-5x on a minutes timescale
     (BENCH.md 'Host variance'), so a single-shot number measures the host
     mode, not the engine; best-of-2 halves the odds of recording a
-    throttled window."""
+    throttled window. If the best is still >1.5x the best-known clean
+    number, take ONE more rep (r6 VERDICT #2: the r6 driver window recorded
+    a throttled mode despite best-of-2) — bounded, so a genuinely regressed
+    query costs one extra run, not a loop."""
     best = float("inf")
     for _ in range(reps):
+        t0 = time.monotonic()
+        Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    if best > 1.5 * BEST_KNOWN.get(name, float("inf")):
         t0 = time.monotonic()
         Q.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.monotonic() - t0)
@@ -92,7 +111,12 @@ def crawl_bench(spark, n: int) -> dict:
         )
         shutil.rmtree(warm, ignore_errors=True)
         best = None
-        for _ in range(2):  # best-of-2 (see time_query: host mode oscillation)
+        # best-of-2, plus one extra rep if still >1.5x off the best-known
+        # clean-window throughput (see time_query)
+        reps, extra_used = 2, False
+        rep = 0
+        while rep < reps:
+            rep += 1
             root_i = tempfile.mkdtemp(prefix="aas_bench_crawl_i_", dir="/dev/shm")
             t0 = time.monotonic()
             stats = run_crawl(
@@ -118,6 +142,12 @@ def crawl_bench(spark, n: int) -> dict:
             }
             if best is None or cur["crawl_urls_per_sec"] > best["crawl_urls_per_sec"]:
                 best = cur
+            if (
+                rep == reps
+                and not extra_used
+                and best["crawl_urls_per_sec"] < BEST_KNOWN_CRAWL_UPS / 1.5
+            ):
+                reps, extra_used = reps + 1, True
         return best
     finally:
         shutil.rmtree(root, ignore_errors=True)

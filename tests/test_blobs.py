@@ -5,6 +5,7 @@ payload bytes must never enter the staging parquet (BENCH.md r5: the
 
 import hashlib
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -118,8 +119,17 @@ def test_vacuum_blobs_removes_orphans_keeps_referenced(spark, tmp_path):
     tmp_attempt = os.path.join(root, "blobs", "wave=0", "part-00099.bin.tmp-dead")
     with open(tmp_attempt, "wb") as fh:
         fh.write(b"dead attempt")
+    # a .tmp younger than the grace period could be a LIVE task of a
+    # concurrent wave — vacuum must keep it
+    fresh_tmp = os.path.join(root, "blobs", "wave=0", "part-00098.bin.tmp-live")
+    with open(fresh_tmp, "wb") as fh:
+        fh.write(b"in-flight attempt")
+    old = time.time() - 3600
+    os.utime(tmp_attempt, (old, old))  # stale: past the grace period
 
     res = vacuum_blobs(spark, io)
+    assert os.path.exists(fresh_tmp)
+    os.unlink(fresh_tmp)
     assert res["removed"] >= 2 and res["kept"] >= 1 and res["bytes_freed"] > 0
     assert not os.path.exists(os.path.join(orphan_dir, "part-00000.bin"))
     assert not os.path.exists(tmp_attempt)

@@ -50,8 +50,9 @@ def main():
     # warmup: python workers, codegen, scan caches — otherwise the first
     # stage timed eats the cold-start and the deltas go negative
     noop(Q.QUERIES["minhash_lsh"](spark, sf))
-    sig = best_of(lambda: noop(Q._minhash_banded(d)), reps)
-    band = best_of(lambda: noop(Q._minhash_lsh_pairs(Q._minhash_banded(d))), reps)
+    hashed = Q._shingle_hash_df(d, "id")
+    sig = best_of(lambda: noop(Q._minhash_banded(hashed)), reps)
+    band = best_of(lambda: noop(Q._minhash_lsh_pairs(Q._minhash_banded(hashed))), reps)
     full = best_of(lambda: noop(Q.QUERIES["minhash_lsh"](spark, sf)), reps)
     print(
         json.dumps(
