@@ -133,8 +133,15 @@ def _group_hashes(pdf: pd.DataFrame, hash_col: str) -> np.ndarray:
     # SORTED: applyInPandas group row order depends on shuffle arrival, so
     # an order-sensitive insert/kick sequence would make the persisted table
     # bytes run-dependent — sorting makes build/merge/delete deterministic
-    # (resume fingerprints compare whole state tables byte-for-byte)
-    return np.sort(pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64))
+    # (resume fingerprints compare whole state tables byte-for-byte).
+    # Mutation paths ONLY — the probe needs row-aligned hashes (_row_hashes).
+    return np.sort(_row_hashes(pdf, hash_col))
+
+
+def _row_hashes(pdf: pd.DataFrame, hash_col: str) -> np.ndarray:
+    """Hashes in the group's row order (for the probe, whose boolean result
+    is assigned back positionally)."""
+    return pdf[hash_col].to_numpy(dtype=np.int64).astype(np.uint64)
 
 
 def build_sidecar(
@@ -259,7 +266,7 @@ class CuckooSidecar:
             table = np.frombuffer(side["table"].iloc[0], dtype=np.uint16).reshape(
                 nb, SLOTS
             )
-            out["maybe_seen"] = _contains(table, _group_hashes(cand, hash_col))
+            out["maybe_seen"] = _contains(table, _row_hashes(cand, hash_col))
             return out
 
         cand = df.withColumn(

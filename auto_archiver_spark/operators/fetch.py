@@ -40,6 +40,12 @@ from ..functions.codec import decode_image, dhash64, pdq256, png_encode, thumbna
 from ..sources.fixture import image_record
 
 _ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
+# transient-failure simulation for the re-crawl path (CrawlConfig
+# .recrawl_failed): a /flaky<k>/<id> URL fails until its retry attempt
+# number (joined from the url_evictions log) reaches k — the deterministic
+# stand-in for a host that recovers, like the reference rows whose failed
+# status cell is cleared for re-archival (gsheet_feeder_db.py:124-126)
+_FLAKY_RE = re.compile(r"/flaky(\d+)/(\d+)")
 
 # One schema for both payload modes. Inline mode fills `bytes` and leaves the
 # blob-reference columns null; sidecar mode (plans/blobs.py — payload written
@@ -63,8 +69,17 @@ _OUT_COLS = [
 ]
 
 
+class InjectedFetchCrash(RuntimeError):
+    """Raised by the fault-injection hook (CrawlConfig.crash_during_fetch_wave)
+    to simulate a task dying mid-wave — the torn-wave scenario the
+    vacuum_blobs + resume tests exercise end-to-end."""
+
+
 def _fetch_batches(
-    batches: Iterator[pd.DataFrame], blob_root: str | None = None, blob_dir: str = ""
+    batches: Iterator[pd.DataFrame],
+    blob_root: str | None = None,
+    blob_dir: str = "",
+    fail_inject: bool = False,
 ) -> Iterator[pd.DataFrame]:
     # per-partition init happens here (sessions, buckets) — once, not per row
     host_elapsed: dict[str, int] = {}
@@ -82,7 +97,14 @@ def _fetch_batches(
     # only emitted after their payload is appended, so a partial file is
     # complete for every reference that escaped.
     try:
-        yield from _fetch_loop(batches, host_elapsed, writer)
+        for out in _fetch_loop(batches, host_elapsed, writer):
+            yield out
+            if fail_inject:
+                # after one emitted batch: payloads are already in the
+                # sidecar (and the finally below renames it into place) but
+                # the wave's staging write never completes — exactly a task
+                # crash between blob append and table commit
+                raise InjectedFetchCrash("injected mid-wave fetch crash")
     finally:
         if writer is not None:
             writer.close()
@@ -112,6 +134,17 @@ def _fetch_loop(
             (carry.groupby(by_host).first() + delay.groupby(by_host).sum()).to_dict()
         )
         ids = pdf["url_norm"].str.extract(_ID_RE, expand=False)
+        fl = pdf["url_norm"].str.extract(_FLAKY_RE)
+        if fl[1].notna().any():
+            att = (
+                pd.to_numeric(pdf["attempt"], errors="coerce").fillna(0).astype("int64")
+                if "attempt" in pdf.columns
+                else pd.Series(0, index=pdf.index, dtype="int64")
+            )
+            ready = fl[1].where(
+                fl[1].notna() & (att >= pd.to_numeric(fl[0], errors="coerce"))
+            )
+            ids = ids.where(ids.notna(), ready)
         ok = ids.notna().to_numpy()
         out["status"] = pd.Series(
             ["success" if f else "nothing archived" for f in ok], index=pdf.index
@@ -156,7 +189,10 @@ def _fetch_loop(
 
 
 def fetch_archive(
-    admitted: DataFrame, blob_root: str | None = None, blob_dir: str = ""
+    admitted: DataFrame,
+    blob_root: str | None = None,
+    blob_dir: str = "",
+    fail_inject: bool = False,
 ) -> DataFrame:
     """Run the fetch+enrich chain over admitted frontier rows; then the
     native enrichers (F1 sha256, byte totals) JVM-side.
@@ -165,11 +201,8 @@ def fetch_archive(
     are written per-partition to ``blob_root/blob_dir/part-*.bin`` inside
     the UDF and rows carry references; the SHA-256 is computed in the same
     loop (bit-identical "SHA-256:<hex>" tag either way)."""
-    if blob_root is None:
-        fn = _fetch_batches
-    else:
-        def fn(batches):
-            return _fetch_batches(batches, blob_root, blob_dir)
+    def fn(batches):
+        return _fetch_batches(batches, blob_root, blob_dir, fail_inject)
 
     fetched = admitted.mapInPandas(fn, FETCH_RESULT_SCHEMA)
     return (

@@ -122,6 +122,12 @@ class TableIO:
             return self.read(spark, table)
         return spark.createDataFrame([], schema)
 
+    def latest_snapshot_id(self, table: str) -> int:
+        """Newest committed snapshot id (0 for an absent/empty table) — for
+        carrying an untouched table forward in a wave checkpoint."""
+        snaps = self._load_manifest(table)["snapshots"]
+        return max((s["id"] for s in snaps), default=0)
+
     def commit(
         self,
         df: DataFrame,

@@ -66,6 +66,23 @@ class CrawlConfig:
     fetch_partitions: int = 64
     use_bloom: bool = True
     bloom_fpp: float = 0.01
+    # URL-seen filter structure (the north rule names both): "bloom" =
+    # OR-mergeable bitmap sidecar (operators/bloom.py, default); "cuckoo" =
+    # deletable fingerprint sidecar (operators/cuckoo.py) — required for
+    # recrawl_failed, since evicting a key from a Bloom bitmap would need a
+    # full rebuild from the surviving key set.
+    seen_filter: str = "bloom"
+    # Re-archival semantics (reference: a cleared/failed status cell makes
+    # the row re-eligible when the feeder re-reads the sheet,
+    # gsheet_feeder_db.py:124-126): when True, URLs whose fetch FAILED this
+    # wave are evicted from the cuckoo seen-filter and re-injected into the
+    # next wave's frontier, at most max_recrawls times per URL. The retry
+    # count rides the skinny `url_evictions` state table, never the driver.
+    recrawl_failed: bool = False
+    max_recrawls: int = 1
+    # fault injection (tests only): raise inside the fetch UDF during this
+    # wave — simulates a mid-wave task death between blob append and commit
+    crash_during_fetch_wave: int | None = None
     dedup_content: bool = True  # A2: content-addressed image dedup before sink
     writeback: bool = True  # J3/K4: only-fill-empty MERGE into seed_state
     strict_urls: bool = False  # P1 via exact ipaddress UDF (reference parity)
@@ -132,6 +149,10 @@ def run_crawl(
     """Run (or resume) the crawl until the frontier drains. Returns per-wave
     stats. ``stop_after_wave`` simulates a crash for the resume tests."""
     config = config or CrawlConfig()
+    if config.recrawl_failed and (config.seen_filter != "cuckoo" or not config.use_bloom):
+        raise ValueError(
+            "recrawl_failed requires seen_filter='cuckoo' (a Bloom bitmap cannot evict)"
+        )
     state = checkpoint.recover(io)
     start_wave = (state["wave"] + 1) if state else 0
 
@@ -188,22 +209,56 @@ def run_crawl(
         mark("dedup")
         seen = io.read_or_empty(spark, "url_seen", URL_SEEN_SCHEMA)
 
-        # Bloom sidecar: read the PERSISTED bucket-partitioned bitmap table
-        # (committed incrementally below) — the driver holds only a handle,
-        # never a bitmap; probe is a bucket-aligned cogroup (bloom.py).
-        bloom = None
-        bloom_full_build = False  # True when rebuilt from url_seen this wave
+        # Re-crawl state: the skinny eviction log (url_hash, evict_wave,
+        # tries). A key is EFFECTIVELY seen iff its latest url_seen insert
+        # is newer than its latest eviction — computed without aggregating
+        # the big table: the eviction log is tiny, so only url_seen rows
+        # matching an evicted key (broadcast semi-join, bucket-pruned at
+        # 10^10 rows) are aggregated.
+        ev_agg = None
+        seen_eff = seen
+        if config.recrawl_failed:
+            ev = io.read_or_empty(
+                spark, "url_evictions", "url_hash long, evict_wave int, tries int"
+            )
+            ev_agg = ev.groupBy("url_hash").agg(
+                F.max("tries").alias("tries"), F.max("evict_wave").alias("ew")
+            ).localCheckpoint()
+            ins_w = (
+                seen.join(F.broadcast(ev_agg.select("url_hash")), "url_hash", "left_semi")
+                .groupBy("url_hash")
+                .agg(F.max("first_seen_wave").alias("iw"))
+            )
+            # insert and evict in the same wave => evict happened after
+            # (failures are evicted at wave end), so ties mean NOT seen
+            dead = (
+                ev_agg.join(ins_w, "url_hash")
+                .filter(F.col("ew") >= F.col("iw"))
+                .select("url_hash")
+            )
+            seen_eff = seen.join(F.broadcast(dead), "url_hash", "left_anti")
+
+        # URL-seen filter sidecar: read the PERSISTED bucket-partitioned
+        # table (committed incrementally below) — the driver holds only a
+        # handle, never a filter; probe is a bucket-aligned cogroup
+        # (bloom.py / cuckoo.py — same plan shape, cuckoo adds deletion).
+        filt = None
+        filt_full_build = False  # True when rebuilt from url_seen this wave
+        filt_table = "url_seen_cuckoo" if config.seen_filter == "cuckoo" else "url_seen_bloom"
         if config.use_bloom and io.exists("url_seen"):
-            from ..operators.bloom import BloomSidecar  # noqa: PLC0415
             from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
 
-            if io.exists("url_seen_bloom"):
-                bloom = BloomSidecar.from_table(io.read(spark, "url_seen_bloom"), N_BUCKETS)
+            if config.seen_filter == "cuckoo":
+                from ..operators.cuckoo import CuckooSidecar as _Sidecar  # noqa: PLC0415
+            else:
+                from ..operators.bloom import BloomSidecar as _Sidecar  # noqa: PLC0415
+            if io.exists(filt_table):
+                filt = _Sidecar.from_table(io.read(spark, filt_table), N_BUCKETS)
             else:  # legacy/resumed layout without a sidecar: one full build
-                bloom = BloomSidecar.build(seen, N_BUCKETS)
-                bloom_full_build = True
+                filt = _Sidecar.build(seen_eff, N_BUCKETS)
+                filt_full_build = True
         mark("bloom_build")
-        new_urls = anti_join_seen(cand, seen, bloom)
+        new_urls = anti_join_seen(cand, seen_eff, filt)
 
         # shuffle 2: admission window; one materialization feeds four consumers
         adm = politeness_admission(
@@ -227,11 +282,20 @@ def run_crawl(
         # With bytes_sidecar the staging row is SKINNY: payloads go to flat
         # per-partition blob files inside the UDF (plans/blobs.py) and the
         # parquet carries only references.
+        to_fetch = admitted.drop("admitted", "robots_blocked")
+        if ev_agg is not None:
+            # attempt number for the transport (retry semantics): tiny log,
+            # broadcast join, default 0
+            to_fetch = to_fetch.join(
+                F.broadcast(ev_agg.select("url_hash", F.col("tries").alias("attempt"))),
+                "url_hash",
+                "left",
+            ).withColumn("attempt", F.coalesce("attempt", F.lit(0)))
         fetch_plan = fetch_archive(
-            salted_fetch_repartition(admitted.drop("admitted", "robots_blocked"),
-                                     config.fetch_partitions),
+            salted_fetch_repartition(to_fetch, config.fetch_partitions),
             blob_root=io.root if config.bytes_sidecar else None,
             blob_dir=f"blobs/wave={wave}",
+            fail_inject=(wave == config.crash_during_fetch_wave),
         )
         snap_ids = {}
         # small row groups for the wide-binary staging table: the default
@@ -350,12 +414,72 @@ def run_crawl(
         snap_ids["url_seen"] = io.commit(
             newly_seen.coalesce(n_state), "url_seen", wave, options=_state_opts
         )
+        # Re-archival: failed URLs still under the retry budget are logged
+        # to url_evictions (their cuckoo fingerprints are removed below) and
+        # re-injected into the next frontier — the reference's cleared-
+        # status-cell re-eligibility, as one skinny append + one cogroup.
+        reinject = None
+        n_reinjected = 0
+        if config.recrawl_failed:
+            elig = (
+                fetched.filter(F.col("status") != "success")
+                .select("sheet", "row_idx", "url", "folder", "url_norm", "url_hash", "host")
+                .join(F.broadcast(ev_agg.select("url_hash", "tries")), "url_hash", "left")
+                .filter(F.coalesce(F.col("tries"), F.lit(0)) < config.max_recrawls)
+                .localCheckpoint()
+            )
+            n_reinjected = elig.count()
+            if n_reinjected:
+                evict_delta = elig.select(
+                    "url_hash",
+                    F.lit(wave).cast("int").alias("evict_wave"),
+                    (F.coalesce(F.col("tries"), F.lit(0)) + 1).cast("int").alias("tries"),
+                )
+                snap_ids["url_evictions"] = io.commit(
+                    evict_delta.coalesce(n_state), "url_evictions", wave,
+                    options=_state_opts,
+                )
+                reinject = elig.select(
+                    "sheet", "row_idx", "url", F.lit("").alias("status"), "folder",
+                    "url_norm", "url_hash", "host",
+                )
+            elif io.exists("url_evictions"):
+                # carry the table's snapshot forward so a torn NEXT wave's
+                # partial eviction commit rolls back to here, not to a wave
+                # that predates the log
+                snap_ids["url_evictions"] = io.latest_snapshot_id("url_evictions")
         if config.dedup_content:
             # the content hashes this wave actually kept (skinny, checkpointed)
             snap_ids["sha_seen"] = io.commit(
                 kept_shas.coalesce(n_state), "sha_seen", wave, options=_state_opts
             )
-        if config.use_bloom:
+        if config.use_bloom and config.seen_filter == "cuckoo":
+            # incremental cuckoo sidecar: insert ONLY this wave's new keys
+            # via the bucket-aligned cogroup, then remove this wave's
+            # evicted fingerprints — both executor-side, never on the driver
+            from ..operators.cuckoo import CuckooSidecar  # noqa: PLC0415
+            from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
+
+            if io.exists("url_seen_cuckoo"):
+                side = CuckooSidecar.from_table(
+                    io.read(spark, "url_seen_cuckoo"), N_BUCKETS
+                ).insert_keys(newly_seen)
+            elif filt_full_build:
+                # legacy/migration wave: persist the full rebuild + delta,
+                # not the delta alone (same rule as the Bloom branch below)
+                side = filt.insert_keys(newly_seen)
+            else:
+                side = CuckooSidecar.build(newly_seen, N_BUCKETS)
+            if reinject is not None:
+                side = side.remove_keys(reinject.select("url_hash"))
+            snap_ids["url_seen_cuckoo"] = io.commit(
+                side.sidecar.coalesce(n_state),
+                "url_seen_cuckoo",
+                wave,
+                mode="overwrite",
+                options=_state_opts,
+            )
+        elif config.use_bloom:
             # incremental sidecar: hash ONLY this wave's new keys into delta
             # bitmaps, OR-merge with the persisted sidecar (fixed m ⇒ exact)
             from ..operators.bloom import build_sidecar, merge_sidecars  # noqa: PLC0415
@@ -364,13 +488,13 @@ def run_crawl(
             delta = build_sidecar(newly_seen, N_BUCKETS)
             if io.exists("url_seen_bloom"):
                 merged = merge_sidecars(io.read(spark, "url_seen_bloom"), delta)
-            elif bloom_full_build:
+            elif filt_full_build:
                 # legacy/migration wave (url_seen existed before any sidecar):
                 # the probe used a FULL rebuild this wave — persist that full
                 # sidecar OR-merged with the delta, not the delta alone, or
                 # every later wave would probe an incomplete bitmap and treat
                 # previously-seen URLs as provably new (round-2 ADVICE high)
-                merged = merge_sidecars(bloom.sidecar, delta)
+                merged = merge_sidecars(filt.sidecar, delta)
             else:
                 merged = delta
             snap_ids["url_seen_bloom"] = io.commit(
@@ -381,6 +505,10 @@ def run_crawl(
                 options=_state_opts,
             )
         next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+        if reinject is not None:
+            next_frontier = next_frontier.unionByName(
+                reinject.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+            )
         if config.link_expander is not None:
             children = canonicalize(
                 seed_filter(config.link_expander(results)), strict=config.strict_urls
@@ -403,6 +531,8 @@ def run_crawl(
             lineage.coalesce(1), "lineage", wave, options=_state_opts
         )
         mark("state_commits")
+        if config.recrawl_failed:
+            marks["evicted"] = n_reinjected
 
         ws = WaveStats(
             wave=wave,
@@ -441,10 +571,12 @@ def run_crawl(
         stats.append(ws)
         cand.unpersist()
         adm.unpersist()
+        if ev_agg is not None:
+            ev_agg.unpersist()
 
         if stop_after_wave is not None and wave >= stop_after_wave:
             return stats
-        if ws.deferred == 0 and config.link_expander is None:
+        if ws.deferred == 0 and config.link_expander is None and n_reinjected == 0:
             break  # with an expander the loop-top isEmpty() is the exit
         frontier = next_frontier
     return stats

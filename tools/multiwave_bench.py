@@ -16,8 +16,10 @@ and resumed must converge to the identical final state — compared by
 distributed order-insensitive fingerprints (sum of per-row crc32s), never
 a driver collect.
 
-Usage: python tools/multiwave_bench.py [seed_n] [waves] [span] [cores]
-       (defaults 48000 4 150000 32)
+Usage: python tools/multiwave_bench.py [seed_n] [waves] [span] [cores] [filter]
+       (defaults 48000 4 150000 32 bloom; filter = bloom | cuckoo, the
+       url-seen sidecar structure — same plan shape, cuckoo adds deletion,
+       so the frontier_sec delta IS the probe-cost datapoint)
 """
 
 from __future__ import annotations
@@ -65,6 +67,7 @@ def main():
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     span = int(sys.argv[3]) if len(sys.argv) > 3 else 150_000
     cores = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    seen_filter = sys.argv[5] if len(sys.argv) > 5 else "bloom"
     spark = get_spark(app="aas-multiwave", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -78,6 +81,7 @@ def main():
         fetch_partitions=cores * 4,
         max_waves=waves,
         link_expander=fixture_link_expander(span),
+        seen_filter=seen_filter,
     )
     seed = frontier_seed_df(spark, seed_n).localCheckpoint()
 
@@ -135,6 +139,7 @@ def main():
                     "seed_n": seed_n,
                     "span": span,
                     "cores": cores,
+                    "seen_filter": seen_filter,
                     "waves": len(stats),
                     "total_wall_sec": round(wall, 3),
                     "total_archived": sum(s.archived_ok for s in stats),
