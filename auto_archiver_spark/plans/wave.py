@@ -212,9 +212,12 @@ def run_crawl(
         # Re-crawl state: the skinny eviction log (url_hash, evict_wave,
         # tries). A key is EFFECTIVELY seen iff its latest url_seen insert
         # is newer than its latest eviction — computed without aggregating
-        # the big table: the eviction log is tiny, so only url_seen rows
-        # matching an evicted key (broadcast semi-join, bucket-pruned at
-        # 10^10 rows) are aggregated.
+        # the big table: only url_seen rows matching an evicted key
+        # (semi-join, bucket-pruned at 10^10 rows) are aggregated. The log
+        # is broadcast only while it measures small — a long-running crawl
+        # with a high failure rate grows it past driver/executor memory, at
+        # which point the joins fall back to shuffle (AQE picks the
+        # strategy) rather than OOMing a 10^10-row run.
         ev_agg = None
         seen_eff = seen
         if config.recrawl_failed:
@@ -224,8 +227,10 @@ def run_crawl(
             ev_agg = ev.groupBy("url_hash").agg(
                 F.max("tries").alias("tries"), F.max("evict_wave").alias("ew")
             ).localCheckpoint()
+            small_log = ev_agg.count() <= 5_000_000  # ~120 MB of (long,int,int)
+            _bcast = F.broadcast if small_log else (lambda df: df)
             ins_w = (
-                seen.join(F.broadcast(ev_agg.select("url_hash")), "url_hash", "left_semi")
+                seen.join(_bcast(ev_agg.select("url_hash")), "url_hash", "left_semi")
                 .groupBy("url_hash")
                 .agg(F.max("first_seen_wave").alias("iw"))
             )
@@ -236,7 +241,7 @@ def run_crawl(
                 .filter(F.col("ew") >= F.col("iw"))
                 .select("url_hash")
             )
-            seen_eff = seen.join(F.broadcast(dead), "url_hash", "left_anti")
+            seen_eff = seen.join(_bcast(dead), "url_hash", "left_anti")
 
         # URL-seen filter sidecar: read the PERSISTED bucket-partitioned
         # table (committed incrementally below) — the driver holds only a
@@ -287,7 +292,7 @@ def run_crawl(
             # attempt number for the transport (retry semantics): tiny log,
             # broadcast join, default 0
             to_fetch = to_fetch.join(
-                F.broadcast(ev_agg.select("url_hash", F.col("tries").alias("attempt"))),
+                _bcast(ev_agg.select("url_hash", F.col("tries").alias("attempt"))),
                 "url_hash",
                 "left",
             ).withColumn("attempt", F.coalesce("attempt", F.lit(0)))
@@ -424,7 +429,7 @@ def run_crawl(
             elig = (
                 fetched.filter(F.col("status") != "success")
                 .select("sheet", "row_idx", "url", "folder", "url_norm", "url_hash", "host")
-                .join(F.broadcast(ev_agg.select("url_hash", "tries")), "url_hash", "left")
+                .join(_bcast(ev_agg.select("url_hash", "tries")), "url_hash", "left")
                 .filter(F.coalesce(F.col("tries"), F.lit(0)) < config.max_recrawls)
                 .localCheckpoint()
             )
