@@ -2483,6 +2483,19 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_sequence_pack(spark, sf):
+    """Concat-and-chunk sequence packing (operators/packing.py): documents
+    are packed shard-by-shard into 2048-token training sequences; each row
+    reports its start offset and the sequence span it occupies. Pure
+    window SQL on both engines — one shard shuffle, WholeStageCodegen, no
+    Python — i.e. the packing layout for a tokenizer fleet computed
+    declaratively."""
+    from .operators.packing import pack_sequences  # noqa: PLC0415
+
+    d = load(spark, sf, "documents")
+    return pack_sequences(d, budget=2048, n_shards=32)
+
+
 QUERIES = {
     # r7 gate window = first 50 (the driver runs QUERIES[0:50]).
     # (a) the four r6-new operators — implemented+replica-verified in r6
@@ -2492,8 +2505,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "cuckoo_seen": q_cuckoo_seen,
     # (b) new this round: the audio-features operator gets its first oracle
-    # (r6 VERDICT #5 — synthesize-then-parse over the SFA1 container)
+    # (r6 VERDICT #5 — synthesize-then-parse over the SFA1 container), and
+    # the sequence-packing operator lands directly in the gated window
     "audio_features": q_audio_features,
+    "sequence_pack": q_sequence_pack,
     # (c) the 32 entries parked out of the r6 window (all green in r5 on
     # code unchanged since; pytest + oracle SQL retained) — rotated back in
     # so every entry keeps a driver green within 2 rounds
@@ -2599,6 +2614,28 @@ _SYNTH_URL_SQL = (
 )
 
 ORACLE = {
+    "sequence_pack": """
+        WITH d AS (
+          SELECT doc_id, (doc_id % 32)::INTEGER AS shard,
+                 (CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END)::BIGINT
+                   AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens)::BIGINT AS start_off
+          FROM d WHERE n_tokens > 0
+        )
+        SELECT doc_id, shard, n_tokens, start_off,
+               (start_off // 2048)::BIGINT AS seq_first,
+               ((start_off + n_tokens - 1) // 2048)::BIGINT AS seq_last,
+               ((start_off + n_tokens - 1) // 2048
+                - start_off // 2048 + 1)::BIGINT AS n_seqs
+        FROM c
+    """,
     "decontaminate": f"""
         WITH wh AS (SELECT doc_id, words,
                  list_transform(words,

@@ -49,16 +49,16 @@ HEADLINE = [
 CRAWL_SEED_N = int(os.environ.get("SPARK_GRAFT_BENCH_SEED_N", "12000"))
 
 
-# clean-window bests at sf0.1/local[32] (r5/r6 BENCH history + this round's
+# clean-window bests at sf0.1/local[32] (r5-r7 BENCH history + this round's
 # builder runs) — the yardstick for the conditional extra rep below
 BEST_KNOWN = {
     "frontier_admission": 0.83, "frontier_anti_join": 0.72,
-    "url_canonicalize": 1.19, "url_best_quality": 0.70,
-    "dedup_first_per_key": 1.30, "pricing_summary": 1.39,
-    "dedup_exact_text": 0.48, "ngram_jaccard": 1.64,
-    "cosine_topk": 0.53, "minhash_lsh": 2.69,
+    "url_canonicalize": 1.14, "url_best_quality": 0.65,
+    "dedup_first_per_key": 1.08, "pricing_summary": 1.39,
+    "dedup_exact_text": 0.36, "ngram_jaccard": 1.64,
+    "cosine_topk": 0.53, "minhash_lsh": 2.59,
 }
-BEST_KNOWN_CRAWL_UPS = 507.0  # r6 clean full-wave window (BENCH.md)
+BEST_KNOWN_CRAWL_UPS = 444.0  # r7 clean window at the 12k bench seed (BENCH.md)
 
 
 def time_query(spark, sf_dir: str, name: str, reps: int = 2) -> float:
