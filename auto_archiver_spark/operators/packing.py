@@ -74,3 +74,62 @@ def pack_sequences(
     return d.withColumn(
         "n_seqs", (F.col("seq_last") - F.col("seq_first") + F.lit(1)).cast("long")
     )
+
+
+# Aspect-ratio bands in floor-milli units (1000*w/h), open-ended last band:
+# tall 9:16-ish | portrait 3:4-ish | square-ish | landscape 4:3-ish | wide.
+# Integer thresholds so both engines band identically (no float boundaries).
+ASPECT_BANDS_MILLI = (563, 800, 1250, 1778)
+
+
+def aspect_bucket_batches(
+    images: DataFrame,
+    batch_size: int = 64,
+    n_shards: int = 32,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch assignment for image
+    training (the SDXL-style loader layout, computed declaratively).
+
+    Each image lands in an integer aspect band (``floor(1000*w/h)`` vs
+    ``ASPECT_BANDS_MILLI``), then in a deterministic shard within the band
+    (``pmod(id, n_shards)``) — batching is sequential per (bucket, shard),
+    exactly how per-worker loaders divide a bucket, so the row_number
+    window shuffles on a (bucket, shard) key that scales with the shard
+    knob rather than piling a whole band onto one partition. ``batch_idx``
+    / ``batch_row`` are the image's cut position; ``batch_full`` = 0 marks
+    the tail batch a drop-last loader would discard. Zero/negative
+    dimensions are excluded. All arithmetic integer → deterministic and
+    engine-portable."""
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    d = images.select(
+        F.col(id_col),
+        F.col(w_col).cast("long").alias("w"),
+        F.col(h_col).cast("long").alias("h"),
+    ).filter((F.col("w") > 0) & (F.col("h") > 0))
+    ar = F.expr("(1000 * w) DIV h")
+    bucket = (
+        F.when(ar < ASPECT_BANDS_MILLI[0], 0)
+        .when(ar < ASPECT_BANDS_MILLI[1], 1)
+        .when(ar < ASPECT_BANDS_MILLI[2], 2)
+        .when(ar < ASPECT_BANDS_MILLI[3], 3)
+        .otherwise(4)
+    )
+    d = d.withColumn("ar_milli", ar.cast("long")).withColumn(
+        "bucket", bucket.cast("int")
+    ).withColumn("shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+    w_order = Window.partitionBy("bucket", "shard").orderBy(id_col)
+    pos = F.row_number().over(w_order) - F.lit(1)
+    d = (
+        d.withColumn("pos", pos.cast("long"))
+        .withColumn("batch_idx", F.expr(f"pos DIV {batch_size}"))
+        .withColumn("batch_row", F.pmod(F.col("pos"), F.lit(batch_size)).cast("long"))
+    )
+    w_batch = Window.partitionBy("bucket", "shard", "batch_idx")
+    return d.withColumn(
+        "batch_full",
+        (F.count(F.lit(1)).over(w_batch) == batch_size).cast("int"),
+    )

@@ -2496,6 +2496,24 @@ def q_sequence_pack(spark, sf):
     return pack_sequences(d, budget=2048, n_shards=32)
 
 
+def q_aspect_buckets(spark, sf):
+    """Aspect-ratio bucket + batch assignment for image training
+    (operators/packing.py aspect_bucket_batches — the SDXL-style loader
+    layout): integer aspect bands, per-(bucket, shard) fixed-size batch
+    cuts, drop-last tail flag. Image dimensions synthesized
+    deterministically from event_id (the gate exercises the bucketing
+    algebra; dims are metadata columns of the north-rule images schema)."""
+    from .operators.packing import aspect_bucket_batches  # noqa: PLC0415
+
+    ev = load(spark, sf, "events")
+    imgs = ev.select(
+        F.col("event_id").alias("image_id"),
+        (F.lit(256) + F.pmod(F.col("event_id") * 13, F.lit(1024))).alias("w"),
+        (F.lit(256) + F.pmod(F.col("event_id") * 7, F.lit(1024))).alias("h"),
+    )
+    return aspect_bucket_batches(imgs, batch_size=64, n_shards=32)
+
+
 QUERIES = {
     # r7 gate window = first 50 (the driver runs QUERIES[0:50]).
     # (a) the four r6-new operators — implemented+replica-verified in r6
@@ -2509,6 +2527,7 @@ QUERIES = {
     # the sequence-packing operator lands directly in the gated window
     "audio_features": q_audio_features,
     "sequence_pack": q_sequence_pack,
+    "aspect_buckets": q_aspect_buckets,
     # (c) the 32 entries parked out of the r6 window (all green in r5 on
     # code unchanged since; pytest + oracle SQL retained) — rotated back in
     # so every entry keeps a driver green within 2 rounds
@@ -2635,6 +2654,36 @@ ORACLE = {
                ((start_off + n_tokens - 1) // 2048
                 - start_off // 2048 + 1)::BIGINT AS n_seqs
         FROM c
+    """,
+    "aspect_buckets": """
+        WITH img AS (
+          SELECT event_id AS image_id,
+                 (256 + (event_id * 13) % 1024)::BIGINT AS w,
+                 (256 + (event_id * 7) % 1024)::BIGINT AS h
+          FROM events
+        ),
+        b AS (
+          SELECT image_id, w, h,
+                 ((1000 * w) // h)::BIGINT AS ar_milli,
+                 (CASE WHEN (1000 * w) // h < 563 THEN 0
+                       WHEN (1000 * w) // h < 800 THEN 1
+                       WHEN (1000 * w) // h < 1250 THEN 2
+                       WHEN (1000 * w) // h < 1778 THEN 3
+                       ELSE 4 END)::INTEGER AS bucket,
+                 (image_id % 32)::INTEGER AS shard
+          FROM img WHERE w > 0 AND h > 0
+        ),
+        p AS (
+          SELECT *, (ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                       ORDER BY image_id) - 1)::BIGINT AS pos
+          FROM b
+        )
+        SELECT image_id, w, h, ar_milli, bucket, shard, pos,
+               (pos // 64)::BIGINT AS batch_idx,
+               (pos % 64)::BIGINT AS batch_row,
+               (COUNT(*) OVER (PARTITION BY bucket, shard, pos // 64)
+                  = 64)::INTEGER AS batch_full
+        FROM p
     """,
     "decontaminate": f"""
         WITH wh AS (SELECT doc_id, words,

@@ -64,6 +64,50 @@ def test_pack_rejects_bad_budget(spark):
         pack_sequences(_docs(spark, [(1, "a")]), budget=0)
 
 
+def test_aspect_buckets_semantics(spark):
+    from auto_archiver_spark.operators.packing import aspect_bucket_batches
+
+    # one shard (n_shards=1) so batch order is globally deterministic
+    rows = [
+        (1, 900, 1600),   # ar 562 -> band 0 (just under the 563 edge)
+        (2, 563, 1000),   # ar 563 -> band 1 (edge is exclusive below)
+        (3, 1000, 1000),  # ar 1000 -> band 2
+        (4, 1777, 1000),  # ar 1777 -> band 3
+        (5, 1778, 1000),  # ar 1778 -> band 4
+        (6, 1000, 999),   # ar 1001 -> band 2
+        (7, 0, 100),      # excluded
+        (8, 100, 0),      # excluded
+        (9, 1200, 1200),  # band 2
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+    out = {
+        r.image_id: r.asDict()
+        for r in aspect_bucket_batches(df, batch_size=2, n_shards=1).collect()
+    }
+    assert 7 not in out and 8 not in out
+    assert [out[i]["bucket"] for i in (1, 2, 3, 4, 5)] == [0, 1, 2, 3, 4]
+    # band 2 holds ids 3, 6, 9 in id order: batch 0 = (3, 6) full, batch 1
+    # = (9,) the drop-last tail
+    assert (out[3]["batch_idx"], out[3]["batch_row"], out[3]["batch_full"]) == (0, 0, 1)
+    assert (out[6]["batch_idx"], out[6]["batch_row"], out[6]["batch_full"]) == (0, 1, 1)
+    assert (out[9]["batch_idx"], out[9]["batch_row"], out[9]["batch_full"]) == (1, 0, 0)
+
+
+def test_aspect_buckets_plan_one_shuffle_no_python(spark):
+    from auto_archiver_spark.operators.packing import aspect_bucket_batches
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("image_id"),
+        (F.lit(256) + F.pmod(F.col("id") * 13, F.lit(1024))).alias("w"),
+        (F.lit(256) + F.pmod(F.col("id") * 7, F.lit(1024))).alias("h"),
+    )
+    plan = _plan(aspect_bucket_batches(df), mode="simple")
+    # the second window's (bucket, shard, batch_idx) clustering is satisfied
+    # by the first's (bucket, shard) partitioning — one exchange total
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pack_plan_one_shuffle_no_python(spark):
     df = spark.range(0, 1000).select(
         F.col("id").alias("doc_id"),
