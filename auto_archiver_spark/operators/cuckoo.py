@@ -241,7 +241,15 @@ class CuckooSidecar:
 
     def remove_keys(self, keys: DataFrame, hash_col: str = "url_hash"):
         """Evict keys (e.g. failed archives due for re-crawl): their next
-        probe is provably-new again, modulo the shared-fingerprint FP rate."""
+        probe is provably-new again, modulo the shared-fingerprint FP rate.
+
+        Deletion safety (Fan et al. §3.2): only ever called for keys that
+        were actually inserted (evictions come from url_seen members), and
+        _insert_all stores duplicate fingerprints rather than deduping —
+        so when two keys collide on (bucket, fingerprint), BOTH copies are
+        present and deleting one leaves the other key's membership intact.
+        Copies in the filter = inserts − deletes per (bucket, fp), hence no
+        deletion-induced false negatives."""
         return CuckooSidecar(
             self.n_buckets,
             _apply_keys(self.sidecar, keys, self.n_buckets, hash_col, "delete",

@@ -244,7 +244,12 @@ def sfa_parse(data: bytes | None) -> np.ndarray:
     must never kill the job (same contract as sfv_parse)."""
     if data is None or len(data) == 0:
         raise SfaError("empty")
-    if len(data) < _SFA_HDR.size or data[:4] != SFA_MAGIC:
+    # length-first, magic second — the same categorization order as
+    # sfv_parse: a short header with valid magic is 'truncated', not
+    # 'bad_magic'
+    if len(data) < _SFA_HDR.size:
+        raise SfaError("truncated")
+    if data[:4] != SFA_MAGIC:
         raise SfaError("bad_magic")
     (_, n_samples) = _SFA_HDR.unpack_from(data)
     if len(data) < _SFA_HDR.size + n_samples:

@@ -133,7 +133,7 @@ def materialize_bytes(
 
 def vacuum_blobs(
     spark, io, tables=("images",), blob_dir: str = "blobs",
-    tmp_grace_sec: float = 600.0,
+    grace_sec: float = 600.0,
 ) -> dict:
     """Delete sidecar blob files no live snapshot references — the
     ``remove_orphan_files`` maintenance op of this layout. Orphans appear
@@ -169,15 +169,17 @@ def vacuum_blobs(
         for name in files:
             p = os.path.join(dirpath, name)
             rel = os.path.relpath(p, io.root)
-            # stale .tmp-* from dead task attempts are orphans — but a
-            # YOUNG .tmp may be a live task of a concurrently running wave
-            # (ADVICE r6: deleting it fails that task's os.replace), so only
-            # reclaim .tmp files older than the grace period
-            if ".tmp-" in name:
-                if now - os.path.getmtime(p) < tmp_grace_sec:
-                    kept += 1
-                    continue
-            elif rel in live:
+            if rel in live:
+                kept += 1
+                continue
+            # an unreferenced file may still belong to a concurrently
+            # running wave: a YOUNG .tmp is a task mid-write (deleting it
+            # fails that task's os.replace — ADVICE r6), and a YOUNG
+            # renamed .bin is a finished task whose wave hasn't committed
+            # its referencing rows yet (deleting it would lose committed
+            # payloads minutes later). The grace period therefore applies
+            # to ANY unreferenced file, tmp or final.
+            if now - os.path.getmtime(p) < grace_sec:
                 kept += 1
                 continue
             freed += os.path.getsize(p)

@@ -23,6 +23,7 @@ re-enter the next wave — the reference analog is its retry/backoff
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -43,19 +44,26 @@ from ..operators.writeback import init_seed_state, wave_writeback
 URL_SEEN_SCHEMA = "url_hash long, url_norm string, first_seen_wave int"
 FRONTIER_COLS = ["sheet", "row_idx", "url", "status", "folder"]
 
-_CLK_TCK = 100.0  # USER_HZ: jiffies per second for /proc/stat fields
+try:  # USER_HZ: jiffies per second for /proc/stat fields
+    _CLK_TCK = float(os.sysconf("SC_CLK_TCK"))
+except (AttributeError, ValueError, OSError):  # pragma: no cover
+    _CLK_TCK = 100.0
 
 
 def _cpu_snap() -> tuple[float, float] | None:
     """(machine busy cpu-seconds, steal-seconds) from the aggregate
-    /proc/stat line; None where /proc is unavailable (non-Linux)."""
+    /proc/stat line; None where /proc is unavailable (non-Linux).
+    guest/guest_nice (fields 9-10) are already folded into user/nice by
+    the kernel, so they are subtracted to avoid double-counting busy time
+    on hosts running nested VMs."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         v = [int(x) for x in parts[1:]]
         idle = v[3] + (v[4] if len(v) > 4 else 0)
         steal = v[7] if len(v) > 7 else 0
-        return (sum(v) - idle - steal) / _CLK_TCK, steal / _CLK_TCK
+        guest = sum(v[8:10])
+        return (sum(v[:8]) - idle - steal - guest) / _CLK_TCK, steal / _CLK_TCK
     except OSError:  # pragma: no cover
         return None
 
@@ -149,9 +157,14 @@ def run_crawl(
     """Run (or resume) the crawl until the frontier drains. Returns per-wave
     stats. ``stop_after_wave`` simulates a crash for the resume tests."""
     config = config or CrawlConfig()
-    if config.recrawl_failed and (config.seen_filter != "cuckoo" or not config.use_bloom):
+    if config.recrawl_failed and config.seen_filter != "cuckoo":
         raise ValueError(
             "recrawl_failed requires seen_filter='cuckoo' (a Bloom bitmap cannot evict)"
+        )
+    if config.recrawl_failed and not config.use_bloom:
+        raise ValueError(
+            "recrawl_failed requires use_bloom=True (the seen-filter sidecar "
+            "machinery must be enabled for eviction to have a filter to act on)"
         )
     state = checkpoint.recover(io)
     start_wave = (state["wave"] + 1) if state else 0
@@ -448,10 +461,13 @@ def run_crawl(
                     "sheet", "row_idx", "url", F.lit("").alias("status"), "folder",
                     "url_norm", "url_hash", "host",
                 )
-            elif io.exists("url_evictions"):
-                # carry the table's snapshot forward so a torn NEXT wave's
-                # partial eviction commit rolls back to here, not to a wave
-                # that predates the log
+            else:
+                # carry the table's snapshot forward UNCONDITIONALLY (0 when
+                # the log doesn't exist yet): recover() only rolls back
+                # tables named in the checkpoint, so a wave with no
+                # evictions must still pin the log's current state or a
+                # torn NEXT wave's partial eviction commit would survive
+                # recovery (pre-consumed retry budgets, phantom attempts)
                 snap_ids["url_evictions"] = io.latest_snapshot_id("url_evictions")
         if config.dedup_content:
             # the content hashes this wave actually kept (skinny, checkpointed)
@@ -466,8 +482,15 @@ def run_crawl(
             from ..operators.frontier import N_BUCKETS  # noqa: PLC0415
 
             if io.exists("url_seen_cuckoo"):
-                side = CuckooSidecar.from_table(
-                    io.read(spark, "url_seen_cuckoo"), N_BUCKETS
+                # the probe handle `filt` already wraps this exact snapshot
+                # (read once at wave top) — reuse it instead of scanning the
+                # sidecar table a second time in the commit segment
+                side = (
+                    filt
+                    if filt is not None and not filt_full_build
+                    else CuckooSidecar.from_table(
+                        io.read(spark, "url_seen_cuckoo"), N_BUCKETS
+                    )
                 ).insert_keys(newly_seen)
             elif filt_full_build:
                 # legacy/migration wave: persist the full rebuild + delta,

@@ -2580,11 +2580,13 @@ QUERIES = {
     # consecutive driver green
     "embedding_lsh": q_embedding_lsh,
     "dedup_components": q_dedup_components,
-    "phash_pairs": q_phash_pairs,
-    "writeback_merge": q_writeback_merge,
     # ---- entries 51+: rotated out of the gate window this round (all
     # green in the r6 driver window, code unchanged; pytest + oracle SQL
-    # retained; back in the r8 window) ----
+    # retained; back in the r8 window). phash_pairs and writeback_merge
+    # were displaced past slot 50 by the two new r7 gates (sequence_pack,
+    # aspect_buckets) — both r6-green, due back r8. ----
+    "phash_pairs": q_phash_pairs,
+    "writeback_merge": q_writeback_merge,
     "extractor_routing": q_extractor_routing,
     "keys_to_clean": q_keys_to_clean,
     "is_empty": q_is_empty,

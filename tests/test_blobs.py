@@ -111,27 +111,36 @@ def test_vacuum_blobs_removes_orphans_keeps_referenced(spark, tmp_path):
         spark, io, cp, frontier_seed_df(spark, 80), host_policy_df(spark),
         CrawlConfig(wave_seconds=3600.0, fetch_partitions=4, max_waves=1),
     )
-    # plant orphans: a torn-wave file and a dead task attempt's tmp
+    # plant orphans: a torn-wave file and a dead task attempt's tmp (both
+    # aged past the grace period — vacuum runs after a restart, so real
+    # orphans are old)
+    old = time.time() - 3600
     orphan_dir = os.path.join(root, "blobs", "wave=9")
     os.makedirs(orphan_dir)
-    with open(os.path.join(orphan_dir, "part-00000.bin"), "wb") as fh:
+    torn = os.path.join(orphan_dir, "part-00000.bin")
+    with open(torn, "wb") as fh:
         fh.write(b"torn wave leftovers")
+    os.utime(torn, (old, old))
     tmp_attempt = os.path.join(root, "blobs", "wave=0", "part-00099.bin.tmp-dead")
     with open(tmp_attempt, "wb") as fh:
         fh.write(b"dead attempt")
-    # a .tmp younger than the grace period could be a LIVE task of a
-    # concurrent wave — vacuum must keep it
+    os.utime(tmp_attempt, (old, old))  # stale: past the grace period
+    # YOUNG unreferenced files could belong to a concurrently running wave
+    # — a .tmp mid-write OR a renamed .bin whose wave hasn't committed its
+    # referencing rows yet. Vacuum must keep both.
     fresh_tmp = os.path.join(root, "blobs", "wave=0", "part-00098.bin.tmp-live")
     with open(fresh_tmp, "wb") as fh:
         fh.write(b"in-flight attempt")
-    old = time.time() - 3600
-    os.utime(tmp_attempt, (old, old))  # stale: past the grace period
+    fresh_bin = os.path.join(root, "blobs", "wave=9", "part-00001.bin")
+    with open(fresh_bin, "wb") as fh:
+        fh.write(b"finished task, wave not yet committed")
 
     res = vacuum_blobs(spark, io)
-    assert os.path.exists(fresh_tmp)
+    assert os.path.exists(fresh_tmp) and os.path.exists(fresh_bin)
     os.unlink(fresh_tmp)
-    assert res["removed"] >= 2 and res["kept"] >= 1 and res["bytes_freed"] > 0
-    assert not os.path.exists(os.path.join(orphan_dir, "part-00000.bin"))
+    os.unlink(fresh_bin)
+    assert res["removed"] >= 2 and res["kept"] >= 2 and res["bytes_freed"] > 0
+    assert not os.path.exists(torn)
     assert not os.path.exists(tmp_attempt)
     # every surviving images row still materializes bit-exactly
     mat = materialize_bytes(io.read(spark, "images"), root).collect()

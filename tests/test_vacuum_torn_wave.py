@@ -79,7 +79,7 @@ def test_torn_wave_orphans_vacuumed_resume_identical(spark):
 
         # vacuum reclaims exactly the unreferenced files (tmp grace off: no
         # concurrent wave in this test), keeps every referenced one
-        res = vacuum_blobs(spark, io_b, tmp_grace_sec=0.0)
+        res = vacuum_blobs(spark, io_b, grace_sec=0.0)
         after = _disk_blobs(root_b)
         assert after == referenced, (after - referenced, referenced - after)
         assert res["removed"] == len(disk) - len(referenced)

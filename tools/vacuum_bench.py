@@ -79,7 +79,7 @@ def main():
             time.sleep(1.0)
         before = disk_blobs(root)
         t0 = time.monotonic()
-        res = vacuum_blobs(spark, io, tmp_grace_sec=0.0)
+        res = vacuum_blobs(spark, io, grace_sec=0.0)
         vac_sec = time.monotonic() - t0
 
         stats = run_crawl(spark, io, WaveCheckpoint(root), seed, policy,
@@ -91,7 +91,7 @@ def main():
         }
         # maintenance pass after the resumed crawl: must keep exactly the
         # referenced set (and reclaim nothing that a committed row needs)
-        res2 = vacuum_blobs(spark, io, tmp_grace_sec=0.0)
+        res2 = vacuum_blobs(spark, io, grace_sec=0.0)
         after = disk_blobs(root)
         print(json.dumps({
             "seed_n": seed_n,
