@@ -141,6 +141,35 @@ def test_cuckoo_filter_without_recrawl_matches_bloom_crawl(spark):
         shutil.rmtree(root_b, ignore_errors=True)
 
 
+def test_partial_eviction_commit_rolled_back_on_recover(spark):
+    """A torn wave's partial url_evictions commit must not survive
+    recovery: every recrawl wave pins the log's snapshot in its checkpoint
+    (0 when absent), so recover() truncates anything newer. Otherwise a
+    replayed wave would see pre-consumed retry budgets / phantom attempt
+    numbers and the resume-fingerprint invariant breaks."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    root = tempfile.mkdtemp(prefix="aas_recrawl_torn_")
+    try:
+        io, cp, s1 = _run(spark, root, stop_after=0)
+        ev0 = io.read(spark, "url_evictions").collect()
+        assert ev0, "wave 0 should evict the flaky URLs"
+        # simulate: wave 1 committed an eviction delta but crashed before
+        # its checkpoint landed
+        extra = io.read(spark, "url_evictions").limit(1).select(
+            "url_hash", F.lit(1).alias("evict_wave"), F.lit(9).alias("tries")
+        )
+        io.commit(extra, "url_evictions", wave=1)
+        assert io.read(spark, "url_evictions").count() == len(ev0) + 1
+        state = cp.recover(io)
+        assert state["wave"] == 0
+        assert sorted(map(tuple, io.read(spark, "url_evictions").collect())) == sorted(
+            map(tuple, ev0)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def test_recrawl_requires_cuckoo(spark):
     import pytest
 
