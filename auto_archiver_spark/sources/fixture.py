@@ -270,7 +270,13 @@ def fixture_link_expander(span: int, fanout: int = 2):
     hosts_tail = F.array(*[F.lit(h) for h in HOSTS[1:]])
 
     def expand(results):
-        ok = results.filter(F.col("status") == "success")
+        # only id-shaped pages have outlinks — other successful rows (e.g.
+        # re-archived /flaky<k>/ URLs) would make the extract return '' and
+        # the ANSI cast throw
+        ok = results.filter(
+            (F.col("status") == "success")
+            & F.col("url_norm").rlike(r"/(?:p|gallery|private)/\d+")
+        )
         pid = F.regexp_extract("url_norm", r"/(?:p|gallery|private)/(\d+)", 1).cast("long")
         kids = ok.select(
             "sheet",

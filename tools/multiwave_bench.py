@@ -17,9 +17,13 @@ distributed order-insensitive fingerprints (sum of per-row crc32s), never
 a driver collect.
 
 Usage: python tools/multiwave_bench.py [seed_n] [waves] [span] [cores] [filter]
-       (defaults 48000 4 150000 32 bloom; filter = bloom | cuckoo, the
-       url-seen sidecar structure — same plan shape, cuckoo adds deletion,
-       so the frontier_sec delta IS the probe-cost datapoint)
+       (defaults 48000 4 150000 32 bloom; filter = bloom | cuckoo |
+       cuckoo-recrawl — bloom/cuckoo pick the url-seen sidecar structure
+       (same plan shape, cuckoo adds deletion, so the frontier_sec delta IS
+       the probe-cost datapoint); cuckoo-recrawl additionally plants
+       transiently-failing /flaky1/ seeds and turns on failed-URL eviction +
+       re-archival, reporting per-wave eviction counts and the final
+       flaky-recovery tally)
 """
 
 from __future__ import annotations
@@ -76,14 +80,31 @@ def main():
         .withColumn("max_tokens", F.lit(10_000_000))
         .withColumn("crawl_delay_ms", F.lit(0))
     )
+    recrawl = seen_filter == "cuckoo-recrawl"
+    n_flaky = 300 if recrawl else 0
     cfg = CrawlConfig(
         wave_seconds=3600.0,
         fetch_partitions=cores * 4,
         max_waves=waves,
         link_expander=fixture_link_expander(span),
-        seen_filter=seen_filter,
+        seen_filter="cuckoo" if recrawl else seen_filter,
+        recrawl_failed=recrawl,
+        max_recrawls=1,
     )
-    seed = frontier_seed_df(spark, seed_n).localCheckpoint()
+    seed = frontier_seed_df(spark, seed_n)
+    if recrawl:
+        # transiently-down hosts: /flaky1/<id> fails until attempt>=1, i.e.
+        # succeeds only after one eviction + re-injection cycle
+        flaky = spark.createDataFrame(
+            [
+                ("ws1", 10_000_000 + i, f"https://news.example.org/flaky1/{i}", "",
+                 "folder-f")
+                for i in range(n_flaky)
+            ],
+            "sheet string, row_idx long, url string, status string, folder string",
+        )
+        seed = seed.unionByName(flaky)
+    seed = seed.localCheckpoint()
 
     # warmup wave (JIT, worker spawn) in a throwaway root
     w = tempfile.mkdtemp(dir="/dev/shm")
@@ -116,6 +137,7 @@ def main():
                         sum(v for k, v in s.extra.items()
                             if k.endswith("_commit") or k == "state_commits"), 3),
                     "wave_sec": round(s.seconds, 3),
+                    **({"evicted": s.extra.get("evicted", 0)} if recrawl else {}),
                 }
             )
 
@@ -123,12 +145,15 @@ def main():
         run(spark, root_b, seed, policy, cfg, stop_after=1)
         io_b, stats_b, _ = run(spark, root_b, seed, policy, cfg)
         resume = {}
-        for table, drop in (
+        resume_tables = [
             ("url_seen", ()),
             ("images", ()),
             ("archive_results", ("processed_at", "ts", "lineage_partition")),
             ("sha_seen", ()),
-        ):
+        ]
+        if recrawl:
+            resume_tables += [("url_evictions", ()), ("url_seen_cuckoo", ())]
+        for table, drop in resume_tables:
             fa = fingerprint(io_a.read(spark, table), drop)
             fb = fingerprint(io_b.read(spark, table), drop)
             resume[table] = {"match": fa == fb, "rows": fa[1]}
@@ -147,6 +172,19 @@ def main():
                     "per_wave": per_wave,
                     "resume_fingerprints_match": all(r["match"] for r in resume.values()),
                     "resume_tables": resume,
+                    **(
+                        {
+                            "flaky_seeded": n_flaky,
+                            "flaky_recovered": io_a.read(spark, "archive_results")
+                            .filter(
+                                F.col("url").contains("/flaky1/")
+                                & (F.col("status") == "success")
+                            )
+                            .select("url_hash").distinct().count(),
+                        }
+                        if recrawl
+                        else {}
+                    ),
                 }
             )
         )
