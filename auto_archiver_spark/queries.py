@@ -2496,6 +2496,58 @@ def q_sequence_pack(spark, sf):
     return pack_sequences(d, budget=2048, n_shards=32)
 
 
+def q_domain_rebalance(spark, sf):
+    """Domain-mix rebalancing for training-set construction: cap every
+    oversampled source at the UNIFORM share (total/k, k = live source
+    count) by deterministic downsampling — the complement of
+    stratified_sample (which applies FIXED per-source rates, this derives
+    rates from the observed counts). Row fate = pure function of
+    (doc_id, source) via the portable md5-int60 roll, so the sample is
+    identical under rerun/resume/retry; per-mille integer rates keep both
+    engines bit-equal. Scale shape: one count aggregation (k rows) +
+    a broadcast join of the k-row rate table + a narrow filter — no
+    shuffle of the corpus itself.
+
+    The testdata sources are uniform (rebalancing would be a no-op), so
+    the gate synthesizes a skewed 60/30/10 mix from doc_id — the cap must
+    actually fire (mix0's uniform share < its count) for the hash to
+    match."""
+    d = load(spark, sf, "documents").withColumn(
+        "source",
+        F.concat(
+            F.lit("mix"),
+            F.when(F.pmod("doc_id", F.lit(10)) < 6, 0)
+            .when(F.pmod("doc_id", F.lit(10)) < 9, 1)
+            .otherwise(2)
+            .cast("string"),
+        ),
+    )
+    w_all = Window.partitionBy()
+    rates = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_src"))
+        .withColumn("total", F.sum("n_src").over(w_all))
+        .withColumn("k", F.count(F.lit(1)).over(w_all))
+        # uniform share = total DIV k; keep-rate in per-mille, floored, all
+        # integer DIV so both engines compute the identical rate
+        .select(
+            "source",
+            "n_src",
+            F.least(
+                F.lit(1000).cast("long"),
+                F.expr("((total DIV k) * 1000) DIV n_src"),
+            ).cast("int").alias("rate_pm"),
+        )
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    return (
+        d.select("doc_id", "source", (_md5_int60(key) % 1000).cast("int").alias("roll"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("roll") < F.col("rate_pm"))
+        .select("doc_id", "source", "n_src", "rate_pm", "roll")
+    )
+
+
 def q_aspect_buckets(spark, sf):
     """Aspect-ratio bucket + batch assignment for image training
     (operators/packing.py aspect_bucket_batches — the SDXL-style loader
@@ -2528,6 +2580,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "sequence_pack": q_sequence_pack,
     "aspect_buckets": q_aspect_buckets,
+    "domain_rebalance": q_domain_rebalance,
     # (c) the 32 entries parked out of the r6 window (all green in r5 on
     # code unchanged since; pytest + oracle SQL retained) — rotated back in
     # so every entry keeps a driver green within 2 rounds
@@ -2579,12 +2632,13 @@ QUERIES = {
     # (e) most complex kernels from the r6 window kept for a second
     # consecutive driver green
     "embedding_lsh": q_embedding_lsh,
-    "dedup_components": q_dedup_components,
     # ---- entries 51+: rotated out of the gate window this round (all
     # green in the r6 driver window, code unchanged; pytest + oracle SQL
-    # retained; back in the r8 window). phash_pairs and writeback_merge
-    # were displaced past slot 50 by the two new r7 gates (sequence_pack,
-    # aspect_buckets) — both r6-green, due back r8. ----
+    # retained; back in the r8 window). dedup_components, phash_pairs and
+    # writeback_merge were displaced past slot 50 by the three new r7
+    # gates (sequence_pack, aspect_buckets, domain_rebalance) — all three
+    # r6-green, due back r8. ----
+    "dedup_components": q_dedup_components,
     "phash_pairs": q_phash_pairs,
     "writeback_merge": q_writeback_merge,
     "extractor_routing": q_extractor_routing,
@@ -2656,6 +2710,30 @@ ORACLE = {
                ((start_off + n_tokens - 1) // 2048
                 - start_off // 2048 + 1)::BIGINT AS n_seqs
         FROM c
+    """,
+    "domain_rebalance": """
+        WITH docs AS (
+          SELECT doc_id,
+                 'mix' || (CASE WHEN doc_id % 10 < 6 THEN 0
+                                WHEN doc_id % 10 < 9 THEN 1
+                                ELSE 2 END)::VARCHAR AS source
+          FROM documents
+        ),
+        c AS (
+          SELECT source, COUNT(*)::BIGINT AS n_src FROM docs GROUP BY source
+        ),
+        r AS (
+          SELECT source, n_src,
+                 least(1000, ((SUM(n_src) OVER () // COUNT(*) OVER ())
+                              * 1000) // n_src)::INTEGER AS rate_pm
+          FROM c
+        )
+        SELECT d.doc_id, d.source, r.n_src, r.rate_pm,
+               (('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.source), 1, 15))::BIGINT
+                % 1000)::INTEGER AS roll
+        FROM docs d JOIN r USING (source)
+        WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.source), 1, 15))::BIGINT
+               % 1000) < r.rate_pm
     """,
     "aspect_buckets": """
         WITH img AS (

@@ -283,3 +283,17 @@ def test_pii_and_sampling_stay_native_no_exchange(spark):
         plan = _plan(q(spark, SF), "simple")
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
         assert "Exchange" not in plan, q
+
+
+def test_domain_rebalance_broadcasts_rates_no_corpus_shuffle(spark):
+    """domain_rebalance: the k-row rate table reaches the corpus through a
+    BroadcastExchange; the only hash exchange is the tiny source-count
+    aggregation — the corpus itself is never shuffled, and no Python."""
+    from auto_archiver_spark.queries import q_domain_rebalance
+
+    plan = _plan(q_domain_rebalance(spark, SF), "simple")
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # hash exchanges: the groupBy(source) partial/final agg only (the
+    # window over the k-row counts runs single-partition)
+    assert plan.count("Exchange hashpartitioning") <= 1
