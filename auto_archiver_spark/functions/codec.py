@@ -145,13 +145,25 @@ def _area_mean_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return block / areas
 
 
-def dhash64(pixels: np.ndarray) -> int:
+_GRAY_COEF = np.array([0.299, 0.587, 0.114])
+
+
+def rgb_gray(pixels: np.ndarray) -> np.ndarray:
+    """REC.601 luminance (float64) — shared by dhash64 and pdq256 so a
+    caller computing both hashes of one image pays the (h*w*3) matmul once
+    (identical expression, bit-identical result)."""
+    return pixels.astype(np.float64) @ _GRAY_COEF
+
+
+def dhash64(pixels: np.ndarray, gray: np.ndarray | None = None) -> int:
     """64-bit difference hash (perceptual): 9x8 grayscale, adjacent-column compare.
 
     Signed int64 (two's complement) so it fits the ``phash:int64`` schema and
-    Spark's LongType directly.
+    Spark's LongType directly. ``gray`` short-circuits the luminance matmul
+    when the caller already has ``rgb_gray(pixels)``.
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if gray is None:
+        gray = rgb_gray(pixels)
     cells = _area_mean_resize(gray, 8, 9)
     bits = (cells[:, 1:] > cells[:, :-1]).flatten()  # 8x8 = 64 bits
     val = 0
@@ -214,7 +226,7 @@ def _pdq_dct_matrix() -> np.ndarray:
     return _PDQ_DCT
 
 
-def pdq256(pixels: np.ndarray) -> tuple[str, int]:
+def pdq256(pixels: np.ndarray, gray: np.ndarray | None = None) -> tuple[str, int]:
     """256-bit PDQ-style perceptual hash + quality, following the published
     algorithm (reference consumes it via the pdqhash lib,
     modules/pdq_hash_enricher/pdq_hash_enricher.py:48-62):
@@ -233,7 +245,8 @@ def pdq256(pixels: np.ndarray) -> tuple[str, int]:
     code are property-tested, not golden-pinned — pin goldens out-of-band
     where pdqhash installs. Returns (64-char hex, quality 0..100).
     """
-    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    if gray is None:
+        gray = rgb_gray(pixels)
     buf = _jarosz_downsample_64(gray)
     m = _pdq_dct_matrix()
     d = m @ buf @ m.T  # 16x16
@@ -261,7 +274,14 @@ def thumbnail(pixels: np.ndarray, max_side: int = 64) -> np.ndarray:
     if scale >= 1.0:
         return pixels
     out_h, out_w = max(1, round(h * scale)), max(1, round(w * scale))
-    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-    for c in range(3):
-        out[:, :, c] = np.round(_area_mean_resize(pixels[:, :, c], out_h, out_w)).clip(0, 255)
-    return out
+    # one 3-channel prefix-sum pass instead of three single-channel passes
+    # (r8, guide §4.2): every sum is integer-exact in float64 (uint8 inputs,
+    # totals << 2^53), so fusing the channels is bit-identical to the old
+    # per-channel loop while touching the image once
+    ye, xe = _band_edges(h, out_h), _band_edges(w, out_w)
+    s = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
+    np.cumsum(np.cumsum(pixels, axis=0, dtype=np.float64), axis=1, out=s[1:, 1:])
+    sums = s[np.ix_(ye, xe)]
+    block = sums[1:, 1:] - sums[:-1, 1:] - sums[1:, :-1] + sums[:-1, :-1]
+    areas = np.outer(np.diff(ye), np.diff(xe))[..., None]
+    return np.round(block / areas).clip(0, 255).astype(np.uint8)

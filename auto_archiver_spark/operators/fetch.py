@@ -36,7 +36,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_image, dhash64, pdq256, png_encode, thumbnail
+from ..functions.codec import (
+    decode_image,
+    dhash64,
+    pdq256,
+    png_encode,
+    rgb_gray,
+    thumbnail,
+)
 from ..sources.fixture import image_record
 
 _ID_RE = re.compile(r"/(?:p|gallery|private)/(\d+)")
@@ -161,7 +168,9 @@ def _fetch_loop(
         for i in range(n):
             if not ok[i]:
                 continue
-            rec = image_record(int(id_vals[i]))
+            # with_phash=False: the fixture's pre-encode hash is discarded
+            # here (we hash the DECODED payload below) — don't compute it
+            rec = image_record(int(id_vals[i]), with_phash=False)
             px = decode_image(rec["bytes"])
             cols["image_id"][i] = rec["image_id"]
             if writer is not None:
@@ -179,8 +188,12 @@ def _fetch_loop(
             cols["h"][i] = rec["h"]
             cols["fmt"][i] = rec["fmt"]
             cols["caption"][i] = rec["caption"]
-            cols["phash"][i] = dhash64(px)
-            cols["pdq"][i] = pdq256(px)[0]
+            # one luminance matmul feeds both perceptual hashes (bit-identical
+            # to computing it inside each — guide §4.2 "hand whole batches to
+            # vectorized native libraries", here: don't do the work twice)
+            gray = rgb_gray(px)
+            cols["phash"][i] = dhash64(px, gray=gray)
+            cols["pdq"][i] = pdq256(px, gray=gray)[0]
             cols["thumb"][i] = png_encode(thumbnail(px))
         for name, vals in cols.items():
             out[name] = pd.Series(vals, index=pdf.index, dtype="object")

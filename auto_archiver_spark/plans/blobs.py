@@ -179,10 +179,20 @@ def vacuum_blobs(
             # its referencing rows yet (deleting it would lose committed
             # payloads minutes later). The grace period therefore applies
             # to ANY unreferenced file, tmp or final.
-            if now - os.path.getmtime(p) < grace_sec:
+            # ADVICE r7 (medium): a concurrent task's os.replace of
+            # part-*.tmp-* to .bin between the walk listing and these stat
+            # calls raises FileNotFoundError — a vanished file is simply a
+            # file some live writer owns; treat it as kept, don't crash the
+            # whole maintenance pass
+            try:
+                if now - os.path.getmtime(p) < grace_sec:
+                    kept += 1
+                    continue
+                sz = os.path.getsize(p)
+                os.unlink(p)
+            except OSError:
                 kept += 1
                 continue
-            freed += os.path.getsize(p)
-            os.unlink(p)
+            freed += sz
             removed += 1
     return {"removed": removed, "kept": kept, "bytes_freed": freed}

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,6 +158,35 @@ def run_crawl(
     """Run (or resume) the crawl until the frontier drains. Returns per-wave
     stats. ``stop_after_wave`` simulates a crash for the resume tests."""
     config = config or CrawlConfig()
+    if config.bytes_sidecar:
+        return _run_crawl(spark, io, checkpoint, seed, host_policy, config, stop_after_wave)
+    # legacy inline-payload mode stages ~140KB binary cells in parquet: cap
+    # the vectorized reader's batch rows for this crawl's actions so a
+    # 4096-row batch can't allocate ~570MB of OnHeapColumnVector per task
+    # (the session default is sized for skinny tables — session.py), and
+    # restore the session value afterwards.
+    key = "spark.sql.parquet.columnarReaderBatchSize"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "128")
+    try:
+        return _run_crawl(spark, io, checkpoint, seed, host_policy, config, stop_after_wave)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _run_crawl(
+    spark: SparkSession,
+    io,
+    checkpoint,
+    seed: DataFrame,
+    host_policy: DataFrame,
+    config: CrawlConfig,
+    stop_after_wave: int | None = None,
+) -> list[WaveStats]:
+    if config.seen_filter not in ("bloom", "cuckoo"):
+        # ADVICE r7: a typo'd value silently fell through to the Bloom
+        # sidecar in every branch — fail fast instead
+        raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {config.seen_filter!r}")
     if config.recrawl_failed and config.seen_filter != "cuckoo":
         raise ValueError(
             "recrawl_failed requires seen_filter='cuckoo' (a Bloom bitmap cannot evict)"
@@ -407,36 +437,14 @@ def run_crawl(
             F.collect_set(wb_bucket_expr()).alias("buckets"),
         ).collect()[0]
         mark("wave_stats")
-        if config.writeback:
-            # J3/K4: MERGE this wave's results into the seed-state table
-            # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
-            # real deployment. The commit is partition-replace: only the row
-            # buckets this wave's results touch are re-read, merged and
-            # rewritten — O(wave) files per wave, not O(seed) (VERDICT r2 #5)
-            touched = sorted(fetch_stats["buckets"] or [])
-            if touched:
-                seed_sub = io.read(spark, "seed_state").filter(
-                    F.col("wb_bucket").isin(touched)
-                )
-                snap_ids["seed_state"] = io.commit_replace(
-                    wave_writeback(seed_sub, results),
-                    "seed_state",
-                    wave,
-                    part_col="wb_bucket",
-                    parts=touched,
-                )
-        mark("writeback_commit")
-        newly_seen = admitted.select(
-            "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
-        )
-        snap_ids["url_seen"] = io.commit(
-            newly_seen.coalesce(n_state), "url_seen", wave, options=_state_opts
-        )
         # Re-archival: failed URLs still under the retry budget are logged
         # to url_evictions (their cuckoo fingerprints are removed below) and
         # re-injected into the next frontier — the reference's cleared-
         # status-cell re-eligibility, as one skinny append + one cogroup.
+        # Computed BEFORE the commit pool: reinject feeds both the frontier
+        # and the cuckoo commits.
         reinject = None
+        elig = None
         n_reinjected = 0
         if config.recrawl_failed:
             elig = (
@@ -448,33 +456,84 @@ def run_crawl(
             )
             n_reinjected = elig.count()
             if n_reinjected:
+                reinject = elig.select(
+                    "sheet", "row_idx", "url", F.lit("").alias("status"), "folder",
+                    "url_norm", "url_hash", "host",
+                )
+        newly_seen = admitted.select(
+            "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
+        )
+        next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+        if reinject is not None:
+            next_frontier = next_frontier.unionByName(
+                reinject.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+            )
+        if config.link_expander is not None:
+            children = canonicalize(
+                seed_filter(config.link_expander(results)), strict=config.strict_urls
+            ).select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+            next_frontier = next_frontier.unionByName(children)
+        mark("writeback_commit")
+
+        # The per-wave state commits write to DISJOINT tables from
+        # already-materialized inputs (fetch_out / adm / results are all
+        # committed or checkpointed above), so they are independent jobs.
+        # Running them sequentially serialized ~7 tiny Spark jobs' worth of
+        # scheduling latency per wave (~2.5 s wall for ~2.5 cpu-s of work,
+        # r7 BENCH stage marks); a small thread pool overlaps them so the
+        # later jobs' tasks back-fill the earlier jobs' idle cores
+        # (guide §2.6 "overlap independent jobs").
+        def _commit_writeback():
+            # J3/K4: MERGE this wave's results into the seed-state table
+            # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
+            # real deployment. The commit is partition-replace: only the row
+            # buckets this wave's results touch are re-read, merged and
+            # rewritten — O(wave) files per wave, not O(seed) (VERDICT r2 #5)
+            touched = sorted(fetch_stats["buckets"] or [])
+            if not touched:
+                return None
+            seed_sub = io.read(spark, "seed_state").filter(
+                F.col("wb_bucket").isin(touched)
+            )
+            return io.commit_replace(
+                wave_writeback(seed_sub, results),
+                "seed_state",
+                wave,
+                part_col="wb_bucket",
+                parts=touched,
+            )
+
+        def _commit_url_seen():
+            return io.commit(
+                newly_seen.coalesce(n_state), "url_seen", wave, options=_state_opts
+            )
+
+        def _commit_evictions():
+            if n_reinjected:
                 evict_delta = elig.select(
                     "url_hash",
                     F.lit(wave).cast("int").alias("evict_wave"),
                     (F.coalesce(F.col("tries"), F.lit(0)) + 1).cast("int").alias("tries"),
                 )
-                snap_ids["url_evictions"] = io.commit(
+                return io.commit(
                     evict_delta.coalesce(n_state), "url_evictions", wave,
                     options=_state_opts,
                 )
-                reinject = elig.select(
-                    "sheet", "row_idx", "url", F.lit("").alias("status"), "folder",
-                    "url_norm", "url_hash", "host",
-                )
-            else:
-                # carry the table's snapshot forward UNCONDITIONALLY (0 when
-                # the log doesn't exist yet): recover() only rolls back
-                # tables named in the checkpoint, so a wave with no
-                # evictions must still pin the log's current state or a
-                # torn NEXT wave's partial eviction commit would survive
-                # recovery (pre-consumed retry budgets, phantom attempts)
-                snap_ids["url_evictions"] = io.latest_snapshot_id("url_evictions")
-        if config.dedup_content:
+            # carry the table's snapshot forward UNCONDITIONALLY (0 when
+            # the log doesn't exist yet): recover() only rolls back
+            # tables named in the checkpoint, so a wave with no
+            # evictions must still pin the log's current state or a
+            # torn NEXT wave's partial eviction commit would survive
+            # recovery (pre-consumed retry budgets, phantom attempts)
+            return io.latest_snapshot_id("url_evictions")
+
+        def _commit_sha_seen():
             # the content hashes this wave actually kept (skinny, checkpointed)
-            snap_ids["sha_seen"] = io.commit(
+            return io.commit(
                 kept_shas.coalesce(n_state), "sha_seen", wave, options=_state_opts
             )
-        if config.use_bloom and config.seen_filter == "cuckoo":
+
+        def _commit_cuckoo():
             # incremental cuckoo sidecar: insert ONLY this wave's new keys
             # via the bucket-aligned cogroup, then remove this wave's
             # evicted fingerprints — both executor-side, never on the driver
@@ -500,14 +559,15 @@ def run_crawl(
                 side = CuckooSidecar.build(newly_seen, N_BUCKETS)
             if reinject is not None:
                 side = side.remove_keys(reinject.select("url_hash"))
-            snap_ids["url_seen_cuckoo"] = io.commit(
+            return io.commit(
                 side.sidecar.coalesce(n_state),
                 "url_seen_cuckoo",
                 wave,
                 mode="overwrite",
                 options=_state_opts,
             )
-        elif config.use_bloom:
+
+        def _commit_bloom():
             # incremental sidecar: hash ONLY this wave's new keys into delta
             # bitmaps, OR-merge with the persisted sidecar (fixed m ⇒ exact)
             from ..operators.bloom import build_sidecar, merge_sidecars  # noqa: PLC0415
@@ -525,39 +585,49 @@ def run_crawl(
                 merged = merge_sidecars(filt.sidecar, delta)
             else:
                 merged = delta
-            snap_ids["url_seen_bloom"] = io.commit(
+            return io.commit(
                 merged.coalesce(n_state),
                 "url_seen_bloom",
                 wave,
                 mode="overwrite",
                 options=_state_opts,
             )
-        next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-        if reinject is not None:
-            next_frontier = next_frontier.unionByName(
-                reinject.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-            )
-        if config.link_expander is not None:
-            children = canonicalize(
-                seed_filter(config.link_expander(results)), strict=config.strict_urls
-            ).select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-            next_frontier = next_frontier.unionByName(children)
-        snap_ids["frontier"] = io.commit(
-            next_frontier.coalesce(n_state),
-            "frontier",
-            wave,
-            mode="overwrite",
-            options=_state_opts,
-        )
 
-        lineage = (
-            results.groupBy("lineage_partition")
-            .agg(F.count("*").alias("rows"), F.sum("total_bytes").alias("bytes"))
-            .withColumn("wave", F.lit(wave))
-        )
-        snap_ids["lineage"] = io.commit(
-            lineage.coalesce(1), "lineage", wave, options=_state_opts
-        )
+        def _commit_frontier():
+            return io.commit(
+                next_frontier.coalesce(n_state),
+                "frontier",
+                wave,
+                mode="overwrite",
+                options=_state_opts,
+            )
+
+        def _commit_lineage():
+            lineage = (
+                results.groupBy("lineage_partition")
+                .agg(F.count("*").alias("rows"), F.sum("total_bytes").alias("bytes"))
+                .withColumn("wave", F.lit(wave))
+            )
+            return io.commit(lineage.coalesce(1), "lineage", wave, options=_state_opts)
+
+        thunks: dict = {"url_seen": _commit_url_seen, "frontier": _commit_frontier,
+                        "lineage": _commit_lineage}
+        if config.writeback:
+            thunks["seed_state"] = _commit_writeback
+        if config.recrawl_failed:
+            thunks["url_evictions"] = _commit_evictions
+        if config.dedup_content:
+            thunks["sha_seen"] = _commit_sha_seen
+        if config.use_bloom and config.seen_filter == "cuckoo":
+            thunks["url_seen_cuckoo"] = _commit_cuckoo
+        elif config.use_bloom:
+            thunks["url_seen_bloom"] = _commit_bloom
+        with ThreadPoolExecutor(max_workers=min(6, len(thunks))) as pool:
+            futs = {name: pool.submit(fn) for name, fn in thunks.items()}
+            for name, fut in futs.items():
+                sid = fut.result()
+                if sid is not None:
+                    snap_ids[name] = sid
         mark("state_commits")
         if config.recrawl_failed:
             marks["evicted"] = n_reinjected
@@ -601,6 +671,11 @@ def run_crawl(
         adm.unpersist()
         if ev_agg is not None:
             ev_agg.unpersist()
+        if elig is not None:
+            # ADVICE r7: elig is localCheckpoint()ed per recrawl wave — free
+            # its cached blocks like ev_agg or they accumulate across a long
+            # recrawl-enabled crawl
+            elig.unpersist()
 
         if stop_after_wave is not None and wave >= stop_after_wave:
             return stats

@@ -35,6 +35,24 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _fan(spark: SparkSession, df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive fan-out for expensive narrow projections (guide §2.5,
+    §6): the gate fixtures are single-row-group parquet files, so a scan —
+    and every per-row expression chained on it — runs as ONE task no matter
+    how many cores the cluster has (row groups are the parallelism floor).
+    When the planned scan parallelism is below the cluster's, hash-repartition
+    on a unique key so the heavy projection spreads across all cores. Hash
+    (not round-robin) partitioning: keyless ``repartition(n)`` pays the
+    sortBeforeRepartition local sort, and a deterministic key survives task
+    retries (SPARK-38388). Callers project to the needed columns FIRST so the
+    exchange carries only those bytes. On a production multi-row-group table
+    (scan partitions >= cores) this is a no-op — no extra exchange at 100 TB."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 # --- crawl-shaped operators over `events` -----------------------------------------
 
 
@@ -97,9 +115,13 @@ def _synth_url(ev: DataFrame) -> DataFrame:
 
 
 def q_url_canonicalize(spark, sf):
-    """North-rule url_norm: lowercase host, strip trackers, sort query."""
-    ev = _synth_url(load(spark, sf, "events"))
-    return ev.select(
+    """North-rule url_norm: lowercase host, strip trackers, sort query.
+
+    r8: project to the two needed columns, then _fan so the regex-heavy
+    canonicalization runs on every core instead of inside the single
+    row-group-bound scan task (7.5 s -> ~1 s at sf1/32 cores)."""
+    ev = _fan(spark, load(spark, sf, "events").select("event_id", "user_id"), "event_id")
+    return _synth_url(ev).select(
         "event_id", X.north_norm_expr(F.col("url")).alias("url_norm")
     )
 
@@ -163,6 +185,9 @@ def q_url_best_quality(spark, sf):
         .when(k == 2, F.concat(F.lit("https://x.com/media/b"), eid, F.lit("?name=large")))
         .otherwise(F.concat(F.lit("https://example.com/a/b/file"), eid, F.lit(".jpg?foo=bar")))
     )
+    # r8: _fan before the regex rewrites — same single-task-scan fix as
+    # q_url_canonicalize (the projection is the cost, not the scan)
+    ev = _fan(spark, ev.select("event_id"), "event_id")
     return ev.select("event_id", X.media_best_quality_expr(url).alias("best_url"))
 
 
@@ -170,17 +195,25 @@ def q_url_best_quality(spark, sf):
 
 
 def q_dedup_first_per_key(spark, sf):
-    """A1: first line per order in line-number order."""
+    """A1: first line per order in line-number order.
+
+    r8: the sort-window (row_number over orderBy) shipped every lineitem row
+    through the exchange and sorted it; min(struct(...)) computes the same
+    winner with MAP-SIDE partial aggregation (guide §2.3 "aggregate before
+    you shuffle") — the shuffle carries one partial row per (task, orderkey)
+    and the sort disappears. struct ordering is lexicographic by field, so
+    min(struct(l_linenumber, l_partkey, l_quantity)) is exactly the
+    row_number()=1 row under (l_linenumber asc, l_partkey asc, l_quantity
+    asc); the tie-break covers every output column, so output is identical."""
     li = load(spark, sf, "lineitem")
-    # (l_orderkey, l_linenumber) is not unique in the synthetic data; the
-    # tie-break covers every output column so any winner yields equal output
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_linenumber").asc(), F.col("l_partkey").asc(), F.col("l_quantity").asc()
-    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", "l_partkey", "l_quantity")
+        li.groupBy("l_orderkey")
+        .agg(F.min(F.struct("l_linenumber", "l_partkey", "l_quantity")).alias("_b"))
+        .select(
+            "l_orderkey",
+            F.col("_b.l_partkey").alias("l_partkey"),
+            F.col("_b.l_quantity").alias("l_quantity"),
+        )
     )
 
 
@@ -357,7 +390,11 @@ def q_ngram_jaccard(spark, sf):
     stage never allocates per-shingle strings and the self-join exchange
     carries int64 arrays (~3-5x fewer bytes at 100 TB). The oracle runs the
     identical combiner, so even hash collisions mirror exactly."""
-    d = _shingle_hash_df(load(spark, sf, "documents"), "doc_id").select(
+    # r8: project + _fan BEFORE shingle hashing — the md5-per-word stage ran
+    # inside the single row-group-bound scan task (guide §2.5); now it runs
+    # on every core and the checkpoint holds the fanned partitioning
+    docs = _fan(spark, load(spark, sf, "documents").select("doc_id", "text"), "doc_id")
+    d = _shingle_hash_df(docs, "doc_id").select(
         "doc_id", F.array_distinct("hs").alias("sh")
     ).localCheckpoint()  # materialize shingles ONCE; both join sides reuse
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -485,7 +522,10 @@ def q_minhash_lsh(spark, sf):
     production xxhash64 operator (operators/dedup.py minhash_dedup —
     pytest-exact in tests/test_sketches.py); the only wide exchange is the
     groupBy on the band key, O(n·bands) rows, never O(n²)."""
-    d = load(spark, sf, "documents")
+    # r8: project + _fan BEFORE shingle hashing (see q_ngram_jaccard) — the
+    # signature stage (md5 per word + 16 permutation minima) was pinned to
+    # the single row-group-bound scan task
+    d = _fan(spark, load(spark, sf, "documents").select("doc_id", "text"), "doc_id")
     # hash the corpus' shingles ONCE and share the materialized (id, hs)
     # projection between the signature stage and the verify stage — the r6
     # stage breakdown (tools/minhash_stages.py) attributed ~39% of the query

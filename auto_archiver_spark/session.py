@@ -49,10 +49,18 @@ def get_spark(
         # image payloads are already-compressed PNG: zstd passes them through
         # cheaply where snappy/dictionary paths burn CPU on incompressible data
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # vectorized-reader batches: at the default 4096 rows a ~140KB binary
-        # column allocates ~570MB of OnHeapColumnVector PER TASK — an
-        # allocation storm that serializes under GC as task count grows
-        .config("spark.sql.parquet.columnarReaderBatchSize", "128")
+        # vectorized-reader batch rows. r8: the old global 128 (sized for the
+        # legacy inline-image-bytes tables, where 4096 x ~140KB binary cells
+        # allocate ~570MB of OnHeapColumnVector PER TASK) taxed every skinny
+        # scan in the engine — decoding 1M-row numeric/string tables in
+        # 128-row batches measured ~2x slower than the 4096 default. Default
+        # back to 4096 for ordinary tables; the ONE consumer of wide-binary
+        # parquet rows (run_crawl with bytes_sidecar=False, the legacy A/B
+        # path) pins the small value around its own actions (plans/wave.py).
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_PARQUET_BATCH", "4096"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # gate queries that *depend* on either value also pin it themselves

@@ -139,8 +139,12 @@ def source_pixels(i: int) -> np.ndarray:
     return px
 
 
-def image_record(i: int) -> dict:
-    """One deterministic images-row (see content_spec for dup structure)."""
+def image_record(i: int, with_phash: bool = True) -> dict:
+    """One deterministic images-row (see content_spec for dup structure).
+
+    ``with_phash=False`` skips the source-pixel dHash: the fetch UDF hashes
+    the *decoded* payload itself (post-codec pixels), so computing the
+    pre-encode hash there was pure discarded work (~0.7 ms/image, r8)."""
     src, _, w, h, fmt = content_spec(i)
     px = source_pixels(i)
     return {
@@ -150,7 +154,7 @@ def image_record(i: int) -> dict:
         "h": int(h),
         "fmt": fmt,
         "caption": f"synthetic caption {src} for {host_for(src).lower()}",
-        "phash": dhash64(px),
+        "phash": dhash64(px) if with_phash else None,
     }
 
 
