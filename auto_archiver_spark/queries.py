@@ -21,6 +21,8 @@ event columns — same values on both engines by construction.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -57,8 +59,13 @@ def _fan(spark: SparkSession, df: DataFrame, *key_cols: str) -> DataFrame:
 
 
 def q_frontier_admission(spark, sf):
-    """O2: per-host (user_id) politeness window — admit first 5 in time order."""
-    ev = load(spark, sf, "events")
+    """O2: per-host (user_id) politeness window — admit first 5 in time order.
+
+    r8: _fan on the WINDOW key — the window's required hashpartitioning is
+    then already satisfied, so no second exchange appears, and the big sort
+    (which Spark 4's WindowGroupLimit otherwise runs inside the single
+    row-group-bound scan task) spreads across all cores."""
+    ev = _fan(spark, load(spark, sf, "events").select("user_id", "event_id", "ts"), "user_id")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -204,8 +211,16 @@ def q_dedup_first_per_key(spark, sf):
     and the sort disappears. struct ordering is lexicographic by field, so
     min(struct(l_linenumber, l_partkey, l_quantity)) is exactly the
     row_number()=1 row under (l_linenumber asc, l_partkey asc, l_quantity
-    asc); the tie-break covers every output column, so output is identical."""
-    li = load(spark, sf, "lineitem")
+    asc); the tie-break covers every output column, so output is identical.
+    _fan on the GROUP key: the groupBy then reuses the exchange and the
+    hash-aggregate runs on every core instead of per row group."""
+    li = _fan(
+        spark,
+        load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+        ),
+        "l_orderkey",
+    )
     return (
         li.groupBy("l_orderkey")
         .agg(F.min(F.struct("l_linenumber", "l_partkey", "l_quantity")).alias("_b"))
@@ -218,15 +233,20 @@ def q_dedup_first_per_key(spark, sf):
 
 
 def q_most_complete(spark, sf):
-    """A5 choose_most_complete: argmax order per customer by (price, key)."""
+    """A5 choose_most_complete: argmax order per customer by (price, key).
+
+    r8: window row_number -> max(struct(...)) groupBy (map-side partial agg,
+    no sort — guide §2.3); both sort keys are desc, so the lexicographic
+    struct max IS the row_number()=1 row, and the keys cover the output."""
     o = load(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").desc()
-    )
     return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", F.col("o_orderkey").alias("best_order"), F.col("o_totalprice").alias("best_price"))
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("_b"))
+        .select(
+            "o_custkey",
+            F.col("_b.o_orderkey").alias("best_order"),
+            F.col("_b.o_totalprice").alias("best_price"),
+        )
     )
 
 
@@ -286,13 +306,17 @@ def q_metadata_merge(spark, sf):
 
 
 def q_merge_status(spark, sf):
-    """A4 status-merge rule: latest status wins per key."""
+    """A4 status-merge rule: latest status wins per key.
+
+    r8: window -> max(struct(ts, event_id, event_type)) (map-side partial
+    agg, no sort). event_id is unique, so the comparison never reaches the
+    payload field — the struct max is exactly the (ts desc, event_id desc)
+    row_number()=1 row."""
     ev = load(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_status"))
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("_b"))
+        .select("user_id", F.col("_b.event_type").alias("last_status"))
     )
 
 
@@ -300,24 +324,35 @@ def q_top_variant(spark, sf):
     """O3 best-variant: per order, the part with max line revenue."""
     li = load(spark, sf, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    w = Window.partitionBy("l_orderkey").orderBy(F.col("rev").desc(), F.col("l_partkey").desc())
+    # r8: argmax via max(struct(rev desc-key, l_partkey desc-key)) — map-side
+    # partial agg instead of a sort window (guide §2.3); identical winner
     return (
-        li.withColumn("rev", rev)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("l_orderkey", F.col("l_partkey").alias("best_part"))
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.struct(rev.alias("rev"), F.col("l_partkey"))).alias("_b"))
+        .select("l_orderkey", F.col("_b.l_partkey").alias("best_part"))
     )
 
 
 def q_pricing_summary(spark, sf):
     """TPC-H Q1-shaped aggregate (A6/A8 totals analog; bench headline).
-    Money math routed through decimal so both engines agree bit-for-bit."""
+    Money math routed through decimal so both engines agree bit-for-bit.
+
+    r8: sum_qty/sum_base run on LONGS instead of per-row BigDecimal — the
+    values are exact integers of the decimal grid (quantities are integral;
+    prices have <= 2 decimals in their shortest double representation, which
+    is exactly what a double->decimal(18,2) cast reads), so
+    sum(round(p*100)::long)/100.0 is the SAME rational number as
+    sum(p::decimal(18,2)), and both final doubles are the correctly-rounded
+    conversion of it — bit-identical output, ~2x cheaper per row.
+    sum_disc_price stays decimal: its per-row value is the shortest-repr
+    decimal of a double PRODUCT, which integer math cannot reproduce."""
     li = load(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_base"),
+            F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .alias("sum_base"),
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
             .cast("double")
             .alias("sum_disc_price"),
@@ -392,9 +427,10 @@ def q_ngram_jaccard(spark, sf):
     identical combiner, so even hash collisions mirror exactly."""
     # r8: project + _fan BEFORE shingle hashing — the md5-per-word stage ran
     # inside the single row-group-bound scan task (guide §2.5); now it runs
-    # on every core and the checkpoint holds the fanned partitioning
+    # on every core, Arrow-vectorized (_shingle_minhash_arrow, guide §4.2),
+    # and the checkpoint holds the fanned partitioning
     docs = _fan(spark, load(spark, sf, "documents").select("doc_id", "text"), "doc_id")
-    d = _shingle_hash_df(docs, "doc_id").select(
+    d = _shingle_minhash_arrow(docs, "doc_id").select(
         "doc_id", F.array_distinct("hs").alias("sh")
     ).localCheckpoint()  # materialize shingles ONCE; both join sides reuse
     a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -510,6 +546,103 @@ def _shingle_hash_df(d: DataFrame, id_alias: str = "id"):
     return base.select(id_alias, hs.alias("hs"))
 
 
+def _shingle_minhash_arrow(d: DataFrame, id_alias: str = "id") -> DataFrame:
+    """(id, hs, mins) — the Arrow-vectorized twin of ``_shingle_hash_df``
+    plus the 16 affine-permutation minima of the MinHash signature, in ONE
+    pass over the text (guide §4.2: heavy per-row work belongs in native
+    code behind an Arrow boundary, not in interpreted HOF lambdas — the JVM
+    md5-per-word transform + 16 array_min(transform(...)) chains are
+    CodegenFallback islands evaluated expression-tree-per-element).
+
+    Bit-identical to the JVM twins by construction (pinned by
+    tests/test_sketches.py::test_arrow_shingle_twin_bit_identical):
+
+      * split: Java ``\\s+`` is ASCII-only ([ \\t\\n\\x0B\\f\\r]) without
+        UNICODE_CHARACTER_CLASS, and Spark's trim strips 0x20 only —
+        replicated exactly (strip(' ') + the same char class, re.split
+        keeping leading/trailing empties like Pattern.split(-1));
+      * hash: hashlib.md5 == Spark md5; int(hex[:15],16) == conv(substr(
+        md5,1,15),16,10)::long (60 bits, exact);
+      * arithmetic: every product stays < 2^62, so int64 numpy == JVM long.
+    """
+    perm_a = [a for a, _ in _MH_PERMS]
+    perm_b = [b for _, b in _MH_PERMS]
+
+    @F.pandas_udf("struct<hs:array<long>, mins:array<long>>")
+    def sketch(texts: pd.Series) -> pd.DataFrame:
+        import hashlib  # noqa: PLC0415
+        import re  # noqa: PLC0415
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        md5, m_mod, a_mul, b_mul = hashlib.md5, _MH_M, _SH_A, _SH_B
+        # word -> md5-int60 % M memo: natural text is Zipf-distributed, so a
+        # task sees each frequent word thousands of times — hash each
+        # distinct word once per batch loop, not once per occurrence.
+        # int.from_bytes(digest[:8]) >> 4 IS int(hexdigest[:15], 16): the
+        # first 15 hex digits are the first 7.5 bytes.
+        wcache: dict = {}
+
+        def whash(w):
+            h = wcache.get(w)
+            if h is None:
+                h = (int.from_bytes(md5(w.encode()).digest()[:8], "big") >> 4) % m_mod
+                wcache[w] = h
+            return h
+
+        n_rows = len(texts)
+        hs_col: list = [None] * n_rows
+        mins_col: list = [None] * n_rows
+        flat_words: list = []
+        doc_rows: list = []  # (row_idx) of docs with >= 3 words
+        wcounts: list = []
+        for j, s in enumerate(texts):
+            if s is None:
+                continue
+            words = ws.split(s.strip(" "))
+            if len(words) < 3:
+                h0 = np.array(
+                    [int(md5(" ".join(words).encode()).hexdigest()[:15], 16) % m_mod],
+                    dtype=np.int64,
+                )
+                hs_col[j] = h0
+                mins_col[j] = np.array(
+                    [(a * int(h0[0]) + b) % _MH_P for a, b in _MH_PERMS], dtype=np.int64
+                )
+            else:
+                doc_rows.append(j)
+                wcounts.append(len(words))
+                flat_words.extend(words)
+        if doc_rows:
+            wv = np.fromiter(
+                (whash(w) for w in flat_words), dtype=np.int64, count=len(flat_words)
+            )
+            # triple combiner over the whole batch at once; entries at the
+            # last two word positions of each doc are cross-doc garbage and
+            # are dropped by the per-doc shingle ranges below
+            hs_flat = ((wv[:-2] * a_mul) % m_mod + (wv[1:-1] * b_mul) % m_mod + wv[2:]) % m_mod
+            ends = np.cumsum(np.asarray(wcounts, dtype=np.int64))
+            starts = ends - wcounts
+            bad = np.concatenate([ends[:-1] - 2, ends[:-1] - 1]) if len(ends) > 1 else []
+            hs_compact = np.delete(hs_flat, bad) if len(bad) else hs_flat
+            sh_counts = np.asarray(wcounts, dtype=np.int64) - 2
+            sh_ends = np.cumsum(sh_counts)
+            sh_starts = sh_ends - sh_counts
+            # 16 affine permutations over the batch's shingles in C, per-doc
+            # minima via one reduceat per permutation (every segment >= 1)
+            mins_mat = np.empty((len(doc_rows), 16), dtype=np.int64)
+            for p_i in range(16):
+                pf = (perm_a[p_i] * hs_compact + perm_b[p_i]) % _MH_P
+                mins_mat[:, p_i] = np.minimum.reduceat(pf, sh_starts)
+            for k, j in enumerate(doc_rows):
+                hs_col[j] = hs_compact[sh_starts[k] : sh_ends[k]]
+                mins_col[j] = mins_mat[k]
+        return pd.DataFrame({"hs": hs_col, "mins": mins_col})
+
+    return d.select(F.col("doc_id").alias(id_alias), sketch("text").alias("_s")).select(
+        id_alias, F.col("_s.hs").alias("hs"), F.col("_s.mins").alias("mins")
+    )
+
+
 def q_minhash_lsh(spark, sf):
     """MinHash-LSH near-dup pipeline, now fully oracle-checked (r3 VERDICT
     #3): portable hashed 3-gram shingles (_shingle_hash_arr) -> 16 affine
@@ -526,30 +659,31 @@ def q_minhash_lsh(spark, sf):
     # signature stage (md5 per word + 16 permutation minima) was pinned to
     # the single row-group-bound scan task
     d = _fan(spark, load(spark, sf, "documents").select("doc_id", "text"), "doc_id")
-    # hash the corpus' shingles ONCE and share the materialized (id, hs)
-    # projection between the signature stage and the verify stage — the r6
-    # stage breakdown (tools/minhash_stages.py) attributed ~39% of the query
-    # to verify, most of it re-hashing the pruned corpus from raw text
-    # (r6 VERDICT #4)
-    hashed = _shingle_hash_df(d, "id").localCheckpoint()
+    # hash the corpus' shingles ONCE and share the materialized (id, hs,
+    # mins) projection between the signature stage and the verify stage —
+    # the r6 stage breakdown (tools/minhash_stages.py) attributed ~39% of
+    # the query to verify, most of it re-hashing the pruned corpus from raw
+    # text (r6 VERDICT #4). r8: the sketch (shingle hashes + permutation
+    # minima) is ONE Arrow-batched pass (_shingle_minhash_arrow).
+    hashed = _shingle_minhash_arrow(d, "id").localCheckpoint()
     pairs = _minhash_lsh_pairs(_minhash_banded(hashed))
-    return _minhash_verify(hashed, pairs.localCheckpoint())
+    return _minhash_verify(hashed.select("id", "hs"), pairs.localCheckpoint())
 
 
 def _minhash_banded(hashed):
-    """Signature stage of q_minhash_lsh: hashed shingles (the materialized
-    (id, hs) projection from _shingle_hash_df — materialized ONCE: inlining
-    it into each of the 16 array_min exprs makes Spark hash every shingle
-    16x; measured 17x wall on this query at sf0.1) -> 16 permutation
-    minima -> 8 band keys, exploded to (id, band, key) rows."""
-
-    def perm(a, b):  # closure factory: the HOF lambda must stay unary
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(_MH_P)
-
-    mins = [F.array_min(F.transform(F.col("hs"), perm(a, b))) for a, b in _MH_PERMS]
+    """Signature stage of q_minhash_lsh: the materialized (id, hs, mins)
+    sketch projection -> 8 band keys, exploded to (id, band, key) rows.
+    r8: keys are struct<k1,k2> LONG pairs instead of concat_ws strings —
+    same equivalence classes for the equi-group (two docs share a band key
+    iff both minima match), without 16 long->string casts + string concat
+    per doc, and the groupBy exchange carries 16 bytes instead of ~25-char
+    strings."""
     bands = F.array(
         *[
-            F.concat_ws("_", *[m.cast("string") for m in mins[2 * b : 2 * b + 2]])
+            F.struct(
+                F.element_at("mins", 2 * b + 1).alias("k1"),
+                F.element_at("mins", 2 * b + 2).alias("k2"),
+            )
             for b in range(8)
         ]
     )

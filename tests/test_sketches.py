@@ -276,3 +276,52 @@ def test_gopher_bigram_long_doc(spark):
     # the old quadratic pass took minutes at 1k words; 20k words must be
     # sub-10s wall including task dispatch
     assert elapsed < 10, f"bigram pass too slow: {elapsed:.1f}s"
+
+
+def test_arrow_shingle_twin_bit_identical(spark):
+    """r8: the Arrow-vectorized sketch stage (_shingle_minhash_arrow) must
+    reproduce the JVM expression twin (_shingle_hash_df + the 16 affine
+    permutation minima) BIT-FOR-BIT — including Java-regex split semantics
+    (ASCII \\s, leading/trailing empties), the trim-space rule, md5-int60,
+    and the int64 modular arithmetic. Exercises degenerate (<3 words),
+    empty, tab/newline-separated and repeated-word docs."""
+    from pyspark.sql import functions as F
+
+    from auto_archiver_spark import queries as Q
+
+    rows = [
+        (0, "order agg batch key spark part hash scan"),
+        (1, "one two"),                       # degenerate: 2 words
+        (2, ""),                              # degenerate: empty text
+        (3, "  padded   with   spaces  "),    # trim + runs of spaces
+        (4, "tab\tseparated\twords here ok"),  # java \s includes \t
+        (5, "line\nbreaks\nand\x0bvtab and more words"),
+        (6, "dup dup dup dup dup dup"),       # word-cache path
+        (7, "x " * 200 + "y"),                # long doc
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm_hs = {r["id"]: list(r["hs"]) for r in Q._shingle_hash_df(d, "id").collect()}
+
+    def perm(a, b):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(Q._MH_P)
+
+    jvm_mins = {
+        r["id"]: [r[f"m{i}"] for i in range(16)]
+        for r in Q._shingle_hash_df(d, "id")
+        .select(
+            "id",
+            *[
+                F.array_min(F.transform(F.col("hs"), perm(a, b))).alias(f"m{i}")
+                for i, (a, b) in enumerate(Q._MH_PERMS)
+            ],
+        )
+        .collect()
+    }
+    arrow = {
+        r["id"]: (list(r["hs"]), list(r["mins"]))
+        for r in Q._shingle_minhash_arrow(d, "id").collect()
+    }
+    assert set(arrow) == set(jvm_hs)
+    for k in jvm_hs:
+        assert arrow[k][0] == jvm_hs[k], f"hs mismatch doc {k}"
+        assert arrow[k][1] == jvm_mins[k], f"mins mismatch doc {k}"

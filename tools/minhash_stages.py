@@ -50,7 +50,10 @@ def main():
     # warmup: python workers, codegen, scan caches — otherwise the first
     # stage timed eats the cold-start and the deltas go negative
     noop(Q.QUERIES["minhash_lsh"](spark, sf))
-    hashed = Q._shingle_hash_df(d, "id")
+    # r8: the sketch stage is the Arrow-vectorized twin, fanned like the query
+    hashed = Q._shingle_minhash_arrow(
+        Q._fan(spark, d.select("doc_id", "text"), "doc_id"), "id"
+    )
     sig = best_of(lambda: noop(Q._minhash_banded(hashed)), reps)
     band = best_of(lambda: noop(Q._minhash_lsh_pairs(Q._minhash_banded(hashed))), reps)
     full = best_of(lambda: noop(Q.QUERIES["minhash_lsh"](spark, sf)), reps)
