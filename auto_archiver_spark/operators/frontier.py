@@ -228,13 +228,19 @@ def politeness_admission(
         .orderBy(*(priority_cols or crawl_order_cols()))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # r8: evaluate the robots HOF expression ONCE and reference the column —
+    # the rule-match subtree is a CodegenFallback island (no CSE), so
+    # repeating `disallowed` in the rank and admitted expressions ran the
+    # whole per-rule match chain three times per row; the Window boundary
+    # keeps CollapseProject from re-inlining it.
+    rb = F.col("robots_blocked")
     return (
         joined.withColumn("robots_blocked", disallowed)
         .withColumn(
-            "_rank", F.sum(F.when(disallowed, 0).otherwise(1)).over(w)
+            "_rank", F.sum(F.when(rb, 0).otherwise(1)).over(w)
         )
         .withColumn(
-            "admitted", (~disallowed) & (F.col("_rank") <= budget)
+            "admitted", (~rb) & (F.col("_rank") <= budget)
         )
         .drop("_rank", "robots_disallow", "robots_allow", "max_tokens")
     )
@@ -242,8 +248,20 @@ def politeness_admission(
 
 def salted_fetch_repartition(df: DataFrame, partitions: int) -> DataFrame:
     """Kill host skew before the fetch UDF: repartition on
-    ``(host, url_hash % 2^SALT_BITS)`` so a Zipf-head host spreads over
-    2^SALT_BITS partitions while politeness state stays per-(host,salt)
-    shard (token budgets are divided by the shard count in fetch.py)."""
-    salt = F.pmod(F.col("url_hash"), F.lit(1 << SALT_BITS))
+    ``(host, url_hash % 2^bits)`` so a Zipf-head host spreads over many
+    partitions while politeness accounting stays per-(host,salt) shard
+    inside the UDF.
+
+    r8 (guide §2.5 "synthetic partitioning keys with too few distinct
+    values"): the old fixed 2^4 salts x 8 hosts put ~128 distinct keys into
+    128 partitions — hash collisions left ~1/3 of partitions empty and gave
+    others 2-3 shards (event-log measured max/median task time 4.8x in the
+    fetch stage; the straggler defined the wall). The salt space now scales
+    with the requested fan-out (>= 4x partitions worth of keys per host, so
+    tens of keys per partition even before the host dimension), keeping the
+    assignment balanced at any cluster size. The salt stays a deterministic
+    pure function of url_hash: retried tasks reproduce the same assignment
+    (SPARK-38388)."""
+    bits = max(SALT_BITS, (max(partitions, 1) * 4 - 1).bit_length())
+    salt = F.pmod(F.col("url_hash"), F.lit(1 << bits))
     return df.repartition(partitions, F.col("host"), salt)

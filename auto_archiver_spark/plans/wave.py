@@ -246,9 +246,10 @@ def _run_crawl(
             _last[0], _last[1] = now, snap
 
         # shuffle 1: in-wave dedup; checkpointed so the anti-join, admission
-        # and stats all reuse one materialization
+        # and stats all reuse one materialization (r8: the stats count moved
+        # into the overlapped post-fetch pool — it is bookkeeping, not a
+        # dependency of the wave's data path)
         cand = dedup_in_wave(frontier).localCheckpoint()
-        n_cand = cand.count()
         mark("dedup")
         seen = io.read_or_empty(spark, "url_seen", URL_SEEN_SCHEMA)
 
@@ -309,15 +310,11 @@ def _run_crawl(
         new_urls = anti_join_seen(cand, seen_eff, filt)
 
         # shuffle 2: admission window; one materialization feeds four consumers
+        # (the stats agg over it runs later, inside the overlapped pool)
         adm = politeness_admission(
             new_urls, host_policy, config.wave_seconds,
             priority_cols=config.admission_priority,
         ).localCheckpoint()
-        adm_stats = adm.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("admitted").cast("long")).alias("admitted"),
-            F.sum(F.col("robots_blocked").cast("long")).alias("robots"),
-        ).collect()[0]
         admitted = adm.filter(F.col("admitted"))
         deferred = adm.filter(~F.col("admitted") & ~F.col("robots_blocked"))
         mark("admission")
@@ -368,75 +365,8 @@ def _run_crawl(
         )
         fetched = io.read(spark, "fetch_out")
         mark("fetch_udf")
-        results = to_archive_results(fetched, wave)
+        results_plan = to_archive_results(fetched, wave)
 
-        # The images snapshot is a ZERO-COPY REF into the staged fetch_out
-        # files (Iceberg merge-on-read shape): heavy bytes hit parquet exactly
-        # once per wave; the commit writes only metadata + a delete-key
-        # sidecar. Dedup is decided entirely on a skinny (url_hash, sha256)
-        # projection: per-wave winner per content hash (A1), then anti-join
-        # against the skinny cross-wave `sha_seen` table (A2 — round 1
-        # broadcast the full committed hash set, unbounded at scale). At
-        # 10^10 rows sha_seen is bucketed like url_seen so the anti-join
-        # prunes to candidate buckets.
-        kept_shas = None
-        drops = None
-        if config.dedup_content:
-            keys = fetched.filter(F.col("status") == "success").select(
-                # url_hash is the unique per-row key this wave (frontier
-                # deduped); image_id is NOT unique — two URLs, same payload
-                F.col("url_hash").alias("_uid"),
-                F.col("hash").alias("sha256"),
-            )
-            sha_seen = io.read_or_empty(spark, "sha_seen", "sha256 string")
-            winners = keys.groupBy("sha256").agg(F.min("_uid").alias("_uid"))
-            fresh = winners.join(sha_seen, "sha256", "left_anti").localCheckpoint()
-            drops = keys.join(fresh.select("_uid"), "_uid", "left_anti").select(
-                F.col("_uid").alias("url_hash")
-            ).coalesce(1)
-            kept_shas = fresh.select("sha256")
-        snap_ids["images"] = io.commit_ref(
-            "images",
-            "fetch_out",
-            snap_ids["fetch_out"],
-            wave,
-            select=[
-                # both payload forms survive the projection: inline `bytes`
-                # (legacy mode) or sidecar refs (plans/blobs.py
-                # materialize_bytes re-attaches pixels for the consumers
-                # that need them) — one stable images schema either way
-                "image_id", "bytes", "blob_file", "blob_off", "blob_len",
-                "w", "h", "fmt", "caption", "phash",
-                "hash AS sha256", "thumb", f"CAST({wave} AS INT) AS wave",
-            ],
-            where="status = 'success'",
-            anti_keys=drops,
-            anti_key_col="url_hash",
-        )
-        mark("images_commit")
-        snap_ids["archive_results"] = io.commit(
-            results.coalesce(config.results_commit_partitions),
-            "archive_results",
-            wave,
-            options=_state_opts,
-        )
-        # downstream consumers (writeback x2 jobs, lineage) re-read the
-        # committed snapshot instead of re-running the to_archive_results
-        # chain over fetch_out once per job; the wave filter prunes to this
-        # wave's row group via parquet predicate pushdown
-        results = io.read(spark, "archive_results").filter(F.col("wave") == wave)
-        mark("results_commit")
-        # one pruned scan feeds wave stats AND the touched-bucket set for the
-        # partition-replace writeback (folding the two driver jobs into one
-        # matters on this host: each extra tiny job samples scheduler stalls)
-        from ..operators.writeback import wb_bucket_expr  # noqa: PLC0415
-
-        fetch_stats = fetched.agg(
-            F.sum((F.col("status") == "success").cast("long")).alias("ok"),
-            F.sum("total_bytes").alias("bytes"),
-            F.collect_set(wb_bucket_expr()).alias("buckets"),
-        ).collect()[0]
-        mark("wave_stats")
         # Re-archival: failed URLs still under the retry budget are logged
         # to url_evictions (their cuckoo fingerprints are removed below) and
         # re-injected into the next frontier — the reference's cleared-
@@ -463,40 +393,120 @@ def _run_crawl(
         newly_seen = admitted.select(
             "url_hash", "url_norm", F.lit(wave).cast("int").alias("first_seen_wave")
         )
-        next_frontier = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-        if reinject is not None:
-            next_frontier = next_frontier.unionByName(
-                reinject.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-            )
-        if config.link_expander is not None:
-            children = canonicalize(
-                seed_filter(config.link_expander(results)), strict=config.strict_urls
-            ).select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
-            next_frontier = next_frontier.unionByName(children)
-        mark("writeback_commit")
+        mark("images_commit")
 
-        # The per-wave state commits write to DISJOINT tables from
-        # already-materialized inputs (fetch_out / adm / results are all
-        # committed or checkpointed above), so they are independent jobs.
-        # Running them sequentially serialized ~7 tiny Spark jobs' worth of
-        # scheduling latency per wave (~2.5 s wall for ~2.5 cpu-s of work,
-        # r7 BENCH stage marks); a small thread pool overlaps them so the
-        # later jobs' tasks back-fill the earlier jobs' idle cores
-        # (guide §2.6 "overlap independent jobs").
+        # ---- overlapped post-fetch DAG (r8, guide §2.6) -------------------
+        # Every post-fetch job consumes only materialized inputs (the
+        # committed fetch_out staging, the adm/cand checkpoints, prior-wave
+        # tables) and writes a DISJOINT table, so almost all of them are
+        # independent. Sequentially they serialized ~10 tiny Spark jobs'
+        # scheduling latency per wave (r7: ~4.5 s wall for ~4 s of cpu across
+        # images/results/stats/writeback/state segments). A thread pool runs
+        # them overlapped; the only true edges are expressed as futures:
+        #   * writeback needs the committed archive_results read-back AND the
+        #     touched-bucket set from the fetch stats;
+        #   * lineage and the link expander need the read-back too.
+
+        def t_images():
+            # The images snapshot is a ZERO-COPY REF into the staged
+            # fetch_out files (Iceberg merge-on-read shape): heavy bytes hit
+            # parquet exactly once per wave; the commit writes only metadata
+            # + a delete-key sidecar. Dedup is decided entirely on a skinny
+            # (url_hash, sha256) projection: per-wave winner per content
+            # hash (A1), then anti-join against the skinny cross-wave
+            # `sha_seen` table (A2). At 10^10 rows sha_seen is bucketed like
+            # url_seen so the anti-join prunes to candidate buckets.
+            drops = None
+            kept_shas = None
+            fresh = None
+            if config.dedup_content:
+                keys = fetched.filter(F.col("status") == "success").select(
+                    # url_hash is the unique per-row key this wave (frontier
+                    # deduped); image_id is NOT unique — two URLs, same payload
+                    F.col("url_hash").alias("_uid"),
+                    F.col("hash").alias("sha256"),
+                )
+                sha_seen = io.read_or_empty(spark, "sha_seen", "sha256 string")
+                winners = keys.groupBy("sha256").agg(F.min("_uid").alias("_uid"))
+                fresh = winners.join(sha_seen, "sha256", "left_anti").localCheckpoint()
+                drops = keys.join(fresh.select("_uid"), "_uid", "left_anti").select(
+                    F.col("_uid").alias("url_hash")
+                ).coalesce(1)
+                kept_shas = fresh.select("sha256")
+            ids = {}
+            ids["images"] = io.commit_ref(
+                "images",
+                "fetch_out",
+                snap_ids["fetch_out"],
+                wave,
+                select=[
+                    # both payload forms survive the projection: inline
+                    # `bytes` (legacy mode) or sidecar refs (plans/blobs.py
+                    # materialize_bytes re-attaches pixels for the consumers
+                    # that need them) — one stable images schema either way
+                    "image_id", "bytes", "blob_file", "blob_off", "blob_len",
+                    "w", "h", "fmt", "caption", "phash",
+                    "hash AS sha256", "thumb", f"CAST({wave} AS INT) AS wave",
+                ],
+                where="status = 'success'",
+                anti_keys=drops,
+                anti_key_col="url_hash",
+            )
+            if config.dedup_content:
+                # the content hashes this wave actually kept (skinny)
+                ids["sha_seen"] = io.commit(
+                    kept_shas.coalesce(n_state), "sha_seen", wave, options=_state_opts
+                )
+            if fresh is not None:
+                fresh.unpersist()
+            return ids
+
+        def t_results():
+            sid = io.commit(
+                results_plan.coalesce(config.results_commit_partitions),
+                "archive_results",
+                wave,
+                options=_state_opts,
+            )
+            # downstream consumers (writeback, lineage, expander) re-read the
+            # committed snapshot instead of re-running the to_archive_results
+            # chain over fetch_out once per job; the wave filter prunes to
+            # this wave's row group via parquet predicate pushdown
+            return sid, io.read(spark, "archive_results").filter(F.col("wave") == wave)
+
+        def t_stats():
+            from ..operators.writeback import wb_bucket_expr  # noqa: PLC0415
+
+            fs = fetched.agg(
+                F.sum((F.col("status") == "success").cast("long")).alias("ok"),
+                F.sum("total_bytes").alias("bytes"),
+                F.collect_set(wb_bucket_expr()).alias("buckets"),
+            ).collect()[0]
+            adm_row = adm.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("admitted").cast("long")).alias("admitted"),
+                F.sum(F.col("robots_blocked").cast("long")).alias("robots"),
+            ).collect()[0]
+            return cand.count(), adm_row, fs
+
         def _commit_writeback():
+            if not config.writeback:
+                return None
             # J3/K4: MERGE this wave's results into the seed-state table
             # (only-fill-empty cells; status always) — Iceberg MERGE INTO on a
             # real deployment. The commit is partition-replace: only the row
             # buckets this wave's results touch are re-read, merged and
             # rewritten — O(wave) files per wave, not O(seed) (VERDICT r2 #5)
-            touched = sorted(fetch_stats["buckets"] or [])
+            _, _, fs = f_stats.result()
+            _, results_rb = f_results.result()
+            touched = sorted(fs["buckets"] or [])
             if not touched:
                 return None
             seed_sub = io.read(spark, "seed_state").filter(
                 F.col("wb_bucket").isin(touched)
             )
             return io.commit_replace(
-                wave_writeback(seed_sub, results),
+                wave_writeback(seed_sub, results_rb),
                 "seed_state",
                 wave,
                 part_col="wb_bucket",
@@ -526,12 +536,6 @@ def _run_crawl(
             # torn NEXT wave's partial eviction commit would survive
             # recovery (pre-consumed retry budgets, phantom attempts)
             return io.latest_snapshot_id("url_evictions")
-
-        def _commit_sha_seen():
-            # the content hashes this wave actually kept (skinny, checkpointed)
-            return io.commit(
-                kept_shas.coalesce(n_state), "sha_seen", wave, options=_state_opts
-            )
 
         def _commit_cuckoo():
             # incremental cuckoo sidecar: insert ONLY this wave's new keys
@@ -594,40 +598,71 @@ def _run_crawl(
             )
 
         def _commit_frontier():
-            return io.commit(
-                next_frontier.coalesce(n_state),
+            nf = deferred.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+            if reinject is not None:
+                nf = nf.unionByName(
+                    reinject.select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+                )
+            if config.link_expander is not None:
+                _, results_rb = f_results.result()
+                children = canonicalize(
+                    seed_filter(config.link_expander(results_rb)), strict=config.strict_urls
+                ).select(*FRONTIER_COLS, "url_norm", "url_hash", "host")
+                nf = nf.unionByName(children)
+            sid = io.commit(
+                nf.coalesce(n_state),
                 "frontier",
                 wave,
                 mode="overwrite",
                 options=_state_opts,
             )
+            return sid, nf
 
         def _commit_lineage():
+            _, results_rb = f_results.result()
             lineage = (
-                results.groupBy("lineage_partition")
+                results_rb.groupBy("lineage_partition")
                 .agg(F.count("*").alias("rows"), F.sum("total_bytes").alias("bytes"))
                 .withColumn("wave", F.lit(wave))
             )
             return io.commit(lineage.coalesce(1), "lineage", wave, options=_state_opts)
 
-        thunks: dict = {"url_seen": _commit_url_seen, "frontier": _commit_frontier,
-                        "lineage": _commit_lineage}
-        if config.writeback:
-            thunks["seed_state"] = _commit_writeback
-        if config.recrawl_failed:
-            thunks["url_evictions"] = _commit_evictions
-        if config.dedup_content:
-            thunks["sha_seen"] = _commit_sha_seen
-        if config.use_bloom and config.seen_filter == "cuckoo":
-            thunks["url_seen_cuckoo"] = _commit_cuckoo
-        elif config.use_bloom:
-            thunks["url_seen_bloom"] = _commit_bloom
-        with ThreadPoolExecutor(max_workers=min(6, len(thunks))) as pool:
-            futs = {name: pool.submit(fn) for name, fn in thunks.items()}
+        # submit order puts the heavy/critical thunks first; max_workers
+        # leaves headroom so the future-blocked thunks (writeback, lineage,
+        # expander-frontier) can never deadlock behind a full pool
+        pool = ThreadPoolExecutor(max_workers=10)
+        try:
+            f_results = pool.submit(t_results)
+            f_stats = pool.submit(t_stats)
+            f_images = pool.submit(t_images)
+            futs: dict = {"url_seen": pool.submit(_commit_url_seen)}
+            if config.recrawl_failed:
+                futs["url_evictions"] = pool.submit(_commit_evictions)
+            if config.use_bloom and config.seen_filter == "cuckoo":
+                futs["url_seen_cuckoo"] = pool.submit(_commit_cuckoo)
+            elif config.use_bloom:
+                futs["url_seen_bloom"] = pool.submit(_commit_bloom)
+            f_writeback = pool.submit(_commit_writeback)
+            f_lineage = pool.submit(_commit_lineage)
+            f_frontier = pool.submit(_commit_frontier)
+
+            snap_ids["archive_results"], results = f_results.result()
+            mark("results_commit")
+            n_cand, adm_stats, fetch_stats = f_stats.result()
+            mark("wave_stats")
+            sid = f_writeback.result()
+            if sid is not None:
+                snap_ids["seed_state"] = sid
+            mark("writeback_commit")
+            snap_ids.update(f_images.result())
+            snap_ids["lineage"] = f_lineage.result()
+            snap_ids["frontier"], next_frontier = f_frontier.result()
             for name, fut in futs.items():
                 sid = fut.result()
                 if sid is not None:
                     snap_ids[name] = sid
+        finally:
+            pool.shutdown(wait=True)
         mark("state_commits")
         if config.recrawl_failed:
             marks["evicted"] = n_reinjected
