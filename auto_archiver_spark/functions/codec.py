@@ -166,9 +166,9 @@ def dhash64(pixels: np.ndarray, gray: np.ndarray | None = None) -> int:
         gray = rgb_gray(pixels)
     cells = _area_mean_resize(gray, 8, 9)
     bits = (cells[:, 1:] > cells[:, :-1]).flatten()  # 8x8 = 64 bits
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    # packbits(bitorder='big') + big-endian int == the old MSB-first shift
+    # loop, bit for bit
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
@@ -181,6 +181,23 @@ def hamming64(a: int, b: int) -> int:
 _PDQ_DCT: np.ndarray | None = None
 
 
+_BOX_IDX: dict = {}  # (n, wsz) -> (lo, hi, norm) — index arrays are pure
+# functions of the window geometry; caching them avoids three arange/clip
+# allocations per box pass (4 passes per image in the fetch UDF). Values
+# are identical, so the filter output is bit-identical.
+
+
+def _box_idx(n: int, wsz: int):
+    key = (n, wsz)
+    got = _BOX_IDX.get(key)
+    if got is None:
+        idx = np.arange(n)
+        lo = np.maximum(0, idx - (wsz - 1) // 2)
+        hi = np.minimum(n, idx + wsz // 2 + 1)
+        got = _BOX_IDX[key] = (lo, hi, (hi - lo))
+    return got
+
+
 def _box1d(a: np.ndarray, wsz: int, axis: int) -> np.ndarray:
     """Centered box-mean with truncated edges along ``axis`` (the published
     PDQ box1D semantics: out[i] = mean(in[i-(w-1)//2 : i+w//2+1] ∩ bounds),
@@ -189,11 +206,11 @@ def _box1d(a: np.ndarray, wsz: int, axis: int) -> np.ndarray:
         return a
     a = np.moveaxis(a, axis, 0)
     n = a.shape[0]
-    idx = np.arange(n)
-    lo = np.maximum(0, idx - (wsz - 1) // 2)
-    hi = np.minimum(n, idx + wsz // 2 + 1)
-    c = np.concatenate([np.zeros((1,) + a.shape[1:]), np.cumsum(a, axis=0)])
-    out = (c[hi] - c[lo]) / (hi - lo).reshape(-1, *([1] * (a.ndim - 1)))
+    lo, hi, norm = _box_idx(n, wsz)
+    c = np.empty((n + 1, *a.shape[1:]))
+    c[0] = 0.0
+    np.cumsum(a, axis=0, out=c[1:])
+    out = (c[hi] - c[lo]) / norm.reshape(-1, *([1] * (a.ndim - 1)))
     return np.moveaxis(out, 0, axis)
 
 
@@ -252,9 +269,7 @@ def pdq256(pixels: np.ndarray, gray: np.ndarray | None = None) -> tuple[str, int
     d = m @ buf @ m.T  # 16x16
     med = np.median(d)
     bits = (d > med).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int.from_bytes(np.packbits(bits).tobytes(), "big")
     # published quality heuristic: truncated-int gradient sum / 90, cap 100
     gx = np.trunc(np.abs(np.diff(buf, axis=1)) * 100.0 / 255.0).sum()
     gy = np.trunc(np.abs(np.diff(buf, axis=0)) * 100.0 / 255.0).sum()

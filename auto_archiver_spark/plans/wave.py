@@ -204,14 +204,20 @@ def _run_crawl(
         frontier = canonicalize(base, strict=config.strict_urls).select(
             *FRONTIER_COLS, "url_norm", "url_hash", "host"
         )
-        io.commit(frontier, "frontier", wave=0, mode="overwrite")
-        if config.writeback:
-            # bucket-partitioned base so later replace-commits and bucket-
-            # filtered reads prune at the directory level
-            io.commit(
-                init_seed_state(seed), "seed_state", wave=0, mode="overwrite",
-                partition_by="wb_bucket",
+        # the two bootstrap commits write disjoint tables from the same seed
+        # — overlap them like the per-wave commit pool (guide §2.6)
+        with ThreadPoolExecutor(max_workers=2) as boot:
+            f_frontier = boot.submit(
+                io.commit, frontier, "frontier", 0, "overwrite"
             )
+            if config.writeback:
+                # bucket-partitioned base so later replace-commits and
+                # bucket-filtered reads prune at the directory level
+                boot.submit(
+                    io.commit, init_seed_state(seed), "seed_state", 0,
+                    "overwrite", None, None, "wb_bucket",
+                ).result()
+            f_frontier.result()
     else:
         frontier = io.read(spark, "frontier")
 

@@ -51,6 +51,9 @@ def shingle_stage_df(spark, sf):
     fan = getattr(Q, "_fan", None)
     if fan is not None:  # r8+ tree
         docs = fan(spark, docs, "doc_id")
+    arrow = getattr(Q, "_shingle_minhash_arrow", None)
+    if arrow is not None:  # r8+: the Arrow-vectorized sketch the queries use
+        return arrow(docs, "doc_id")
     return Q._shingle_hash_df(docs, "doc_id")
 
 
