@@ -98,10 +98,23 @@ def crawl_order_cols() -> list[Column]:
 
 def dedup_in_wave(df: DataFrame) -> DataFrame:
     """First occurrence per url_hash in crawl order (reference processes each
-    URL once by construction; ties broken by O1). One shuffle on url_hash."""
-    w = Window.partitionBy("url_hash").orderBy(*crawl_order_cols())
-    return (
-        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    URL once by construction; ties broken by O1). One shuffle on url_hash.
+
+    r8: sort-window row_number -> min(struct(...)) aggregate (guide §2.3,
+    same rewrite as the gate argmax queries): (sheet, row_idx) is the unique
+    O1 total order, so the lexicographic struct minimum IS the
+    row_number()=1 row and the payload fields after it never decide the
+    comparison. The aggregate gets map-side partials instead of shipping and
+    sorting every duplicate occurrence."""
+    others = [c for c in df.columns if c not in ("url_hash", "sheet", "row_idx")]
+    agg = df.groupBy("url_hash").agg(
+        F.min(F.struct("sheet", "row_idx", *others)).alias("_b")
+    )
+    return agg.select(
+        *[
+            F.col("url_hash") if c == "url_hash" else F.col(f"_b.{c}").alias(c)
+            for c in df.columns
+        ]
     )
 
 
